@@ -1,38 +1,53 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship KG-construction query over sf0.001: grounds the
+                  documents corpus against a broadcast dictionary and
+                  materializes (subj, pred, obj) triples unioned with
+                  typedef-filtered ontology edges.
+queries()       — one callable per implemented SURVEY.md §2 operator.
+oracle_sql()    — DuckDB twins (omitted for hash-family/UDF-internal ops,
+                  which get rows-only checks).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+
+from pyobo_spark import queries as Q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: triple materialization over the sf0.001 corpus —
+    mention detection (broadcast Aho-Corasick over documents) → best-match
+    → mention triples ∪ typedef-filtered ontology edges."""
+    sf_dir = "/root/testdata/sf0.001"
+    from pyspark.sql import functions as F
+
+    from pyobo_spark.grounding import matcher
+    from pyobo_spark.grounding.dictionary import build_automaton
+
+    ac = build_automaton(Q.MENTION_DICT)
+    bc = spark.sparkContext.broadcast(ac)
+    raw = matcher.match_text_spans(Q._docs_as_spans(spark, sf_dir), bc)
+    best = matcher.best_match(raw)
+    mention_triples = best.select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("subject_curie"),
+        F.lit("pyobo:mentions").alias("predicate_curie"),
+        F.col("curie").alias("object_curie"),
+    ).distinct()
+    onto_edges = Q.q_edges(spark, sf_dir)
+    return mention_triples.unionByName(onto_edges)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(Q.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(Q.ORACLES)

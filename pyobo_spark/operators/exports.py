@@ -1,0 +1,176 @@
+"""Export operators — the reference's `iterate_*` / `get_*_df` family
+re-expressed as Spark projections/filters/joins (SURVEY.md §2.2-§2.4).
+
+Every operator is a narrow select/where over the long tables of
+schemas.py; Catalyst pushes the filters into the parquet scan and prunes
+columns, so at 100 TB each export is a single scan-project-filter stage
+with no shuffle (plus one shuffle for the grouped/deduped variants).
+
+Reference semantics cited per function (file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Typedefs known to the engine — mirrors the reference's default typedef
+# ChainMap (struct.py:1107-1113): relations whose predicate is not a
+# defined typedef are DROPPED (struct.py:1872-1888).
+DEFAULT_TYPEDEFS: tuple[tuple[str, str, str], ...] = (
+    ("BFO", "0000050", "part of"),
+    ("RO", "0002162", "in taxon"),
+    ("rdfs", "subClassOf", "is a"),
+    ("oboInOwl", "hasDbXref", "has database cross-reference"),
+    ("skos", "exactMatch", "exact match"),
+    ("owl", "equivalentClass", "equivalent class"),
+)
+
+
+def names(terms: DataFrame) -> DataFrame:
+    """(prefix, identifier, name), name non-null — iterate_id_name
+    (struct.py:1615-1625)."""
+    return terms.where(F.col("name").isNotNull()).select(
+        "prefix", "identifier", "name"
+    )
+
+
+def definitions(terms: DataFrame) -> DataFrame:
+    """(prefix, identifier, definition) with the reference's cleanup:
+    newlines/tabs → space, doubled spaces collapsed (struct.py:1627-1643).
+    """
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col("definition"), r"[\n\t]", " "), r" {2,}", " "
+    )
+    return terms.where(F.col("definition").isNotNull()).select(
+        "prefix", "identifier", cleaned.alias("definition")
+    )
+
+
+def obsoletes(terms: DataFrame) -> DataFrame:
+    """identifiers where is_obsolete (struct.py:1645-1653)."""
+    return terms.where(F.col("is_obsolete")).select("prefix", "identifier")
+
+
+def species(relations: DataFrame) -> DataFrame:
+    """(identifier, taxonomy_id) from RO:0002162 relations filtered to
+    ncbitaxon targets (struct.py:1659-1675, get_species :454-470)."""
+    return (
+        relations.where(
+            (F.col("relation_prefix") == "RO")
+            & (F.col("relation_id") == "0002162")
+            & (F.col("target_prefix") == "ncbitaxon")
+        )
+        .select("prefix", "identifier", F.col("target_id").alias("taxonomy_id"))
+        .distinct()
+    )
+
+
+def relations_typedef_filtered(relations: DataFrame, typedefs: DataFrame) -> DataFrame:
+    """Relations with unresolvable typedefs dropped (struct.py:1872-1888):
+    broadcast left-semi join against the typedef dim."""
+    return relations.join(
+        F.broadcast(typedefs),
+        on=[
+            relations.relation_prefix == typedefs.typedef_prefix,
+            relations.relation_id == typedefs.typedef_id,
+        ],
+        how="left_semi",
+    )
+
+
+def relations_dropped(relations: DataFrame, typedefs: DataFrame) -> DataFrame:
+    """The complement: rows dropped by typedef resolution, routed to a
+    warnings sink (reference logs a warning per drop, struct.py:1884-1887)."""
+    return relations.join(
+        F.broadcast(typedefs),
+        on=[
+            relations.relation_prefix == typedefs.typedef_prefix,
+            relations.relation_id == typedefs.typedef_id,
+        ],
+        how="left_anti",
+    )
+
+
+def filtered_relations(
+    relations: DataFrame, relation_prefix: str, relation_id: str
+) -> DataFrame:
+    """iterate_filtered_relations (struct.py:1903-1954)."""
+    return relations.where(
+        (F.col("relation_prefix") == relation_prefix)
+        & (F.col("relation_id") == relation_id)
+    ).select("prefix", "identifier", "target_prefix", "target_id")
+
+
+def synonyms_grouped(literal_mappings: DataFrame) -> DataFrame:
+    """id → sorted synonym list (get_id_synonyms_mapping,
+    struct.py:2045-2060; per-term synonyms sorted, struct.py:2050).
+    Emitted as a joined string for stable cross-engine comparison."""
+    return (
+        literal_mappings.groupBy("prefix", "identifier")
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_list("text"))).alias("synonyms")
+        )
+    )
+
+
+def sssom_mappings(xrefs: DataFrame) -> DataFrame:
+    """get_mappings: union of match-predicate families, sorted de-dup
+    (struct_utils.py:800-818; predicates vocabulary.py:132-150)."""
+    return (
+        xrefs.select("subject_id", "predicate_id", "object_id")
+        .dropDuplicates()
+    )
+
+
+def filtered_xrefs(xrefs: DataFrame, target_prefix: str) -> DataFrame:
+    """iterate_filtered_xrefs: xref target prefix == t
+    (struct.py:2133-2139, api/xrefs.py:62-84)."""
+    return xrefs.where(
+        F.col("object_id").startswith(target_prefix + ":")
+        & (F.col("predicate_id") == "oboInOwl:hasDbXref")
+    ).select("subject_id", "object_id")
+
+
+def edges(relations_ok: DataFrame, parents: DataFrame, prefix: str) -> DataFrame:
+    """Triple materialization — union of predicate-tagged selects
+    (struct_utils.py:768-785: relations ∪ parents ∪ ...). Each leg is a
+    scan-project; the union is free (no shuffle)."""
+    rel_edges = relations_ok.select(
+        F.concat(F.col("prefix"), F.lit(":"), F.col("identifier")).alias(
+            "subject_curie"
+        ),
+        F.concat(
+            F.col("relation_prefix"), F.lit(":"), F.col("relation_id")
+        ).alias("predicate_curie"),
+        F.concat(F.col("target_prefix"), F.lit(":"), F.col("target_id")).alias(
+            "object_curie"
+        ),
+    )
+    isa_edges = parents.select(
+        F.concat(F.lit(prefix + ":"), F.col("child")).alias("subject_curie"),
+        F.lit("rdfs:subClassOf").alias("predicate_curie"),
+        F.concat(F.lit(prefix + ":"), F.col("parent")).alias("object_curie"),
+    )
+    return rel_edges.unionByName(isa_edges)
+
+
+def alt_upgrade(refs: DataFrame, alts: DataFrame, id_col: str = "identifier") -> DataFrame:
+    """get_primary_identifier: left join refs against alts(alt_id→primary),
+    falling back to the original id (api/alts.py:89-105 `alts_to_id.get(id,
+    id)`). Broadcast hash join — the alts dim is tiny relative to refs."""
+    a = alts.select(
+        F.col("alt_id"), F.col("identifier").alias("_primary")
+    )
+    joined = refs.join(
+        F.broadcast(a), on=refs[id_col] == a.alt_id, how="left"
+    )
+    return joined.withColumn(
+        "primary_identifier", F.coalesce(F.col("_primary"), F.col(id_col))
+    ).drop("alt_id", "_primary")
+
+
+def summary_counters(df: DataFrame, key: str = "prefix") -> DataFrame:
+    """db_output_helper's Counter-by-first-column (getters.py:502-552):
+    map-side partial agg + final hash agg."""
+    return df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))

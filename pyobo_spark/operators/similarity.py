@@ -1,0 +1,144 @@
+"""Similarity search over an embedding column (array<float>) —
+brute-force cosine top-k baseline + an LSH-bucketed scale path.
+
+Brute force: broadcast the (small) query set, JVM-side arithmetic only —
+F.zip_with/F.aggregate compile to whole-stage-codegen'd expressions, no
+Python in the hot path. At 100 TB the corpus side streams through a
+map-only stage; the per-query top-k is a single shuffle on query_id
+bounded by k × n_queries.
+
+LSH path: random-hyperplane (sign) signatures with a fixed seed →
+bucket-join; probes only matching buckets, trading recall for a
+~(2^bits)× candidate reduction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    return df.withColumn(
+        "_norm",
+        F.sqrt(
+            F.aggregate(
+                F.col(vec), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+            )
+        ),
+    )
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine) — exact top-k per query.
+
+    queries: subset of rows with the same shape. Broadcast inner side."""
+    q = _with_norm(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        ),
+        "qvec",
+    ).withColumnRenamed("_norm", "qnorm")
+    c = _with_norm(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        ),
+        "cvec",
+    ).withColumnRenamed("_norm", "cnorm")
+    dot = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot / (F.col("qnorm") * F.col("cnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH signature (int bucket id) per vector.
+
+    Hyperplanes are generated deterministically on the driver and inlined
+    as literal arrays → the sign computation stays JVM-side (no UDF)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    sig = None
+    for b in range(n_bits):
+        lit_plane = F.array(*[F.lit(float(x)) for x in planes[b]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_plane, lambda a, p: a.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = bit if sig is None else (sig + bit)
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), sig.alias("bucket")
+    )
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: compare only within matching hyperplane buckets."""
+    c = hyperplane_signatures(embeddings, n_bits=n_bits, dim=dim).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cvec"),
+        "bucket",
+    )
+    q = hyperplane_signatures(queries, n_bits=n_bits, dim=dim).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        "bucket",
+    )
+    c = _with_norm(c, "cvec").withColumnRenamed("_norm", "cnorm")
+    q = _with_norm(q, "qvec").withColumnRenamed("_norm", "qnorm")
+    dot = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", dot / (F.col("qnorm") * F.col("cnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )

@@ -1,0 +1,587 @@
+"""Driver-contract queries: each SURVEY.md §2 operator exposed as a
+(spark, sf_dir) -> DataFrame callable with a DuckDB oracle SQL twin.
+
+Conventions enforced throughout (driver compares row-count + schema +
+order-insensitive value-hash with columns sorted by name):
+- every computed column aliased identically in Spark and SQL;
+- integer-kind outputs cast to bigint on the Spark side (DuckDB count/
+  row_number/len are BIGINT);
+- float outputs rounded (4 dp) identically on both sides, or computed in
+  exact decimal/integer arithmetic where sums are involved.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .grounding import matcher
+from .grounding.dictionary import build_automaton
+from .operators import dedup, exports, hierarchy, similarity, textstats
+from .operators.components import connected_components
+from .sources import tpch_adapter as tp
+
+# ---------------------------------------------------------------------------
+# fixed grounding dictionary for the flat documents table (single-token
+# entries so the DuckDB oracle can replicate matches exactly; multi-word
+# patterns are exercised by the fixture pipeline tests instead).
+# ('query' is deliberately ambiguous → exercises best-match top-1.)
+MENTION_DICT: list[tuple[str, str, str]] = [
+    ("spark", "fixo:0000001", "rdfs:label"),
+    ("join", "fixo:0000002", "rdfs:label"),
+    ("filter", "fixo:0000003", "rdfs:label"),
+    ("window", "fixo:0000004", "rdfs:label"),
+    ("vector", "fixo:0000005", "rdfs:label"),
+    ("merge", "fixo:0000006", "rdfs:label"),
+    ("query", "fixo:0000007", "rdfs:label"),
+    ("query", "fixo:0000008", "oboInOwl:hasRelatedSynonym"),
+]
+
+_DICT_VALUES_SQL = ", ".join(
+    f"('{t}', '{c}', {1.0 if p == 'rdfs:label' else 0.5})"
+    for t, c, p in MENTION_DICT
+)
+
+
+def _docs_as_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat documents table → (doc_id, span_idx=0, text) single-span rows."""
+    return tp.load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).alias("span_idx"),
+        "text",
+    )
+
+
+def _typedefs_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(p, i) for p, i, _ in exports.DEFAULT_TYPEDEFS],
+        "typedef_prefix string, typedef_id string",
+    )
+
+
+# ------------------------------------------------------------- queries ----
+
+def q_names(spark, sf_dir):
+    return exports.names(tp.terms(spark, sf_dir))
+
+
+SQL_NAMES = f"""
+WITH terms AS ({tp.TERMS_SQL})
+SELECT prefix, identifier, name FROM terms WHERE name IS NOT NULL
+"""
+
+
+def q_definitions(spark, sf_dir):
+    return exports.definitions(tp.terms(spark, sf_dir))
+
+
+SQL_DEFINITIONS = f"""
+WITH terms AS ({tp.TERMS_SQL})
+SELECT prefix, identifier,
+       regexp_replace(regexp_replace(definition, '[\\n\\t]', ' ', 'g'),
+                      ' {{2,}}', ' ', 'g') AS definition
+FROM terms WHERE definition IS NOT NULL
+"""
+
+
+def q_obsoletes(spark, sf_dir):
+    return exports.obsoletes(tp.terms(spark, sf_dir))
+
+
+SQL_OBSOLETES = f"""
+WITH terms AS ({tp.TERMS_SQL})
+SELECT prefix, identifier FROM terms WHERE is_obsolete
+"""
+
+
+def q_species(spark, sf_dir):
+    return exports.species(tp.relations_raw(spark, sf_dir))
+
+
+SQL_SPECIES = f"""
+WITH relations AS ({tp.RELATIONS_RAW_SQL})
+SELECT DISTINCT prefix, identifier, target_id AS taxonomy_id
+FROM relations
+WHERE relation_prefix = 'RO' AND relation_id = '0002162'
+  AND target_prefix = 'ncbitaxon'
+"""
+
+
+def q_relations_typedef_filtered(spark, sf_dir):
+    return exports.relations_typedef_filtered(
+        tp.relations_raw(spark, sf_dir), _typedefs_df(spark)
+    )
+
+
+SQL_RELATIONS_TYPEDEF_FILTERED = f"""
+WITH relations AS ({tp.RELATIONS_RAW_SQL})
+SELECT * FROM relations
+WHERE (relation_prefix = 'BFO' AND relation_id = '0000050')
+   OR (relation_prefix = 'RO' AND relation_id = '0002162')
+"""
+
+
+def q_filtered_relations_part_of(spark, sf_dir):
+    return exports.filtered_relations(
+        tp.relations_raw(spark, sf_dir), "BFO", "0000050"
+    )
+
+
+SQL_FILTERED_RELATIONS_PART_OF = f"""
+WITH relations AS ({tp.RELATIONS_RAW_SQL})
+SELECT prefix, identifier, target_prefix, target_id
+FROM relations WHERE relation_prefix = 'BFO' AND relation_id = '0000050'
+"""
+
+
+def q_alt_upgrade(spark, sf_dir):
+    alts = tp.alts(spark, sf_dir)
+    part_refs = tp.terms(spark, sf_dir).select("identifier")
+    alt_refs = alts.select(F.col("alt_id").alias("identifier"))
+    refs = part_refs.unionByName(alt_refs).distinct()
+    out = exports.alt_upgrade(refs, alts)
+    return out.select("identifier", "primary_identifier")
+
+
+SQL_ALT_UPGRADE = f"""
+WITH alts AS ({tp.ALTS_SQL}),
+terms AS ({tp.TERMS_SQL}),
+refs AS (
+  SELECT DISTINCT identifier FROM (
+    SELECT identifier FROM terms
+    UNION ALL SELECT alt_id AS identifier FROM alts
+  )
+)
+SELECT r.identifier, coalesce(a.identifier, r.identifier) AS primary_identifier
+FROM refs r LEFT JOIN alts a ON r.identifier = a.alt_id
+"""
+
+
+def q_synonyms_grouped(spark, sf_dir):
+    return exports.synonyms_grouped(tp.synonyms(spark, sf_dir))
+
+
+SQL_SYNONYMS_GROUPED = f"""
+WITH syn AS ({tp.SYNONYMS_SQL})
+SELECT prefix, identifier, string_agg(text, '|' ORDER BY text) AS synonyms
+FROM syn GROUP BY prefix, identifier
+"""
+
+
+def q_sssom_mappings(spark, sf_dir):
+    return exports.sssom_mappings(tp.xrefs(spark, sf_dir))
+
+
+SQL_SSSOM_MAPPINGS = f"""
+WITH xrefs AS ({tp.XREFS_SQL})
+SELECT DISTINCT subject_id, predicate_id, object_id FROM xrefs
+"""
+
+
+def q_filtered_xrefs(spark, sf_dir):
+    return exports.filtered_xrefs(tp.xrefs(spark, sf_dir), "fixn")
+
+
+SQL_FILTERED_XREFS = f"""
+WITH xrefs AS ({tp.XREFS_SQL})
+SELECT subject_id, object_id FROM xrefs
+WHERE object_id LIKE 'fixn:%' AND predicate_id = 'oboInOwl:hasDbXref'
+"""
+
+
+def q_edges(spark, sf_dir):
+    rel_ok = exports.relations_typedef_filtered(
+        tp.relations_raw(spark, sf_dir), _typedefs_df(spark)
+    )
+    return exports.edges(rel_ok, tp.parents(spark, sf_dir), prefix="fixp")
+
+
+SQL_EDGES = f"""
+WITH relations AS ({tp.RELATIONS_RAW_SQL}),
+parents AS ({tp.PARENTS_SQL})
+SELECT concat(prefix, ':', identifier) AS subject_curie,
+       concat(relation_prefix, ':', relation_id) AS predicate_curie,
+       concat(target_prefix, ':', target_id) AS object_curie
+FROM relations
+WHERE (relation_prefix = 'BFO' AND relation_id = '0000050')
+   OR (relation_prefix = 'RO' AND relation_id = '0002162')
+UNION ALL
+SELECT concat('fixp:', child), 'rdfs:subClassOf', concat('fixp:', parent)
+FROM parents
+"""
+
+
+def q_ancestors(spark, sf_dir):
+    return hierarchy.ancestors(tp.parents(spark, sf_dir))
+
+
+SQL_ANCESTORS = f"""
+WITH RECURSIVE parents AS ({tp.PARENTS_SQL}),
+anc(identifier, ancestor) AS (
+  SELECT child, parent FROM parents
+  UNION
+  SELECT a.identifier, p.parent
+  FROM anc a JOIN parents p ON a.ancestor = p.child
+)
+SELECT identifier, ancestor FROM anc
+"""
+
+
+def q_children(spark, sf_dir):
+    return hierarchy.children(tp.parents(spark, sf_dir), "0000001")
+
+
+SQL_CHILDREN = f"""
+WITH parents AS ({tp.PARENTS_SQL})
+SELECT child AS identifier FROM parents WHERE parent = '0000001'
+"""
+
+
+def q_connected_components(spark, sf_dir):
+    return connected_components(tp.cc_edges(spark, sf_dir))
+
+
+# closed-form oracle: the cc graph is customers—nations—regions, so each
+# component is exactly one region's membership; rep = min curie in it.
+SQL_CONNECTED_COMPONENTS = """
+WITH members AS (
+  SELECT concat('fixc:', lpad(CAST(c_custkey AS VARCHAR), 7, '0')) AS curie,
+         n_regionkey AS g
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT concat('fixn:', lpad(CAST(n_nationkey AS VARCHAR), 7, '0')), n_regionkey
+  FROM nation
+  UNION ALL
+  SELECT DISTINCT concat('fixr:', lpad(CAST(n_regionkey AS VARCHAR), 7, '0')),
+         n_regionkey
+  FROM nation
+)
+SELECT curie, min(curie) OVER (PARTITION BY g) AS component FROM members
+"""
+
+
+def q_mention_counts(spark, sf_dir):
+    ac = build_automaton(MENTION_DICT)
+    bc = spark.sparkContext.broadcast(ac)
+    raw = matcher.match_text_spans(_docs_as_spans(spark, sf_dir), bc)
+    return (
+        raw.groupBy(F.col("doc_id").cast("bigint").alias("doc_id"), "curie")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )
+
+
+SQL_MENTION_COUNTS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dict(tok, curie, score) AS (VALUES {_DICT_VALUES_SQL})
+SELECT t.doc_id, d.curie, count(*) AS n_mentions
+FROM toks t JOIN dict d ON t.tok = d.tok
+GROUP BY t.doc_id, d.curie
+"""
+
+
+def q_mention_best(spark, sf_dir):
+    ac = build_automaton(MENTION_DICT)
+    bc = spark.sparkContext.broadcast(ac)
+    raw = matcher.match_text_spans(_docs_as_spans(spark, sf_dir), bc)
+    best = matcher.best_match(raw)
+    return best.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "matched_text", "curie"
+    ).distinct()
+
+
+SQL_MENTION_BEST = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dict(tok, curie, score) AS (VALUES {_DICT_VALUES_SQL}),
+matches AS (
+  SELECT t.doc_id, t.tok AS matched_text, d.curie, d.score,
+         row_number() OVER (PARTITION BY t.doc_id, t.tok
+                            ORDER BY d.score DESC, d.curie) AS rn
+  FROM (SELECT DISTINCT doc_id, tok FROM toks) t
+  JOIN dict d ON t.tok = d.tok
+)
+SELECT DISTINCT doc_id, matched_text, curie FROM matches WHERE rn = 1
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    docs = tp.load(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    docs = tp.load(spark, sf_dir, "documents")
+    out = textstats.token_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "avg_token_len",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in textstats.STOPWORDS)
+SQL_TOKEN_STATS = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(list_filter(string_split(text, ' '),
+              x -> list_contains([{_STOP_SQL}], x))) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_chars,
+       round((n_chars - (n_tokens - 1)) / n_tokens, 4) AS avg_token_len,
+       round(n_stop / n_tokens, 4) AS stopword_ratio,
+       CAST(CASE WHEN n_tokens >= 10 AND n_tokens <= 400 THEN 0.5 ELSE 0.0 END +
+            CASE WHEN n_stop / n_tokens > 0.01 AND n_stop / n_tokens < 0.6
+                 THEN 0.5 ELSE 0.0 END AS DOUBLE) AS quality_score
+FROM base
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = tp.load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + (F.length(t) + F.ascii(t)).cast("long"))
+        % F.lit(2147483648).cast("long"),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+                          t -> CAST(length(t) + ascii(t) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 2147483648
+       ) AS fingerprint
+FROM documents
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = tp.load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    out = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cvec
+  FROM embeddings
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(q.qvec, c.cvec), p -> p[1] * p[2])),
+             (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(q.qvec, x -> x * x)), (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(c.cvec, x -> x * x)), (acc, x) -> acc + x)))
+         AS cosine
+  FROM c CROSS JOIN q
+  WHERE q.query_id <> c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 4) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = tp.load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum(price * disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_relation_counters(spark, sf_dir):
+    rel = tp.relations_raw(spark, sf_dir)
+    return rel.groupBy("relation_prefix", "relation_id").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+SQL_RELATION_COUNTERS = f"""
+WITH relations AS ({tp.RELATIONS_RAW_SQL})
+SELECT relation_prefix, relation_id, count(*) AS n_rows
+FROM relations GROUP BY relation_prefix, relation_id
+"""
+
+
+# ----- non-SQL-expressible ops (driver records rows-only checks) -----------
+
+def q_minhash_near_duplicates(spark, sf_dir):
+    docs = tp.load(spark, sf_dir, "documents")
+    # plant deterministic near-dups: copy of each 10th doc missing its
+    # first token, shifted id — so the operator provably finds pairs
+    planted = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    return dedup.minhash_near_duplicates(corpus, threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash_fingerprints(tp.load(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = tp.load(spark, sf_dir, "documents")
+    planted = (
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionByName(planted)
+    sigs = dedup.minhash_signatures(corpus)
+    cands = dedup.minhash_lsh_candidates(sigs)
+    return dedup.ngram_jaccard_pairs(corpus, cands.select("doc_a", "doc_b"))
+
+
+def q_language_id(spark, sf_dir):
+    return textstats.language_id(tp.load(spark, sf_dir, "documents"))
+
+
+def q_ann_cosine_lsh(spark, sf_dir):
+    emb = tp.load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return similarity.cosine_topk_lsh(emb, queries, k=5)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing demo: synthesize binary media from doc text
+    bytes, run the (stubbed) feature extractor."""
+    from .operators import multimodal
+
+    docs = tp.load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("blob://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return multimodal.extract_media_features(media)
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "names": q_names,
+    "definitions": q_definitions,
+    "obsoletes": q_obsoletes,
+    "species": q_species,
+    "relations_typedef_filtered": q_relations_typedef_filtered,
+    "filtered_relations_part_of": q_filtered_relations_part_of,
+    "alt_upgrade": q_alt_upgrade,
+    "synonyms_grouped": q_synonyms_grouped,
+    "sssom_mappings": q_sssom_mappings,
+    "filtered_xrefs": q_filtered_xrefs,
+    "edges": q_edges,
+    "ancestors": q_ancestors,
+    "children": q_children,
+    "connected_components": q_connected_components,
+    "mention_counts": q_mention_counts,
+    "mention_best": q_mention_best,
+    "dedup_exact": q_dedup_exact,
+    "token_stats": q_token_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "pricing_summary": q_pricing_summary,
+    "relation_counters": q_relation_counters,
+    # rows-only (non-SQL-expressible: hash-family/UDF internals)
+    "minhash_near_duplicates": q_minhash_near_duplicates,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "language_id": q_language_id,
+    "ann_cosine_lsh": q_ann_cosine_lsh,
+    "media_features": q_media_features,
+}
+
+ORACLES: dict[str, str] = {
+    "names": SQL_NAMES,
+    "definitions": SQL_DEFINITIONS,
+    "obsoletes": SQL_OBSOLETES,
+    "species": SQL_SPECIES,
+    "relations_typedef_filtered": SQL_RELATIONS_TYPEDEF_FILTERED,
+    "filtered_relations_part_of": SQL_FILTERED_RELATIONS_PART_OF,
+    "alt_upgrade": SQL_ALT_UPGRADE,
+    "synonyms_grouped": SQL_SYNONYMS_GROUPED,
+    "sssom_mappings": SQL_SSSOM_MAPPINGS,
+    "filtered_xrefs": SQL_FILTERED_XREFS,
+    "edges": SQL_EDGES,
+    "ancestors": SQL_ANCESTORS,
+    "children": SQL_CHILDREN,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
+    "mention_counts": SQL_MENTION_COUNTS,
+    "mention_best": SQL_MENTION_BEST,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_stats": SQL_TOKEN_STATS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "relation_counters": SQL_RELATION_COUNTERS,
+}

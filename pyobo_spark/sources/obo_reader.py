@@ -1,0 +1,327 @@
+"""OBO 1.4 flat-file reader → long tables.
+
+Reference behavior: from_obo_path/_read_obo parse via obonet into a
+MultiDiGraph, then from_obonet builds the object model
+(/root/reference/src/pyobo/struct/obo/reader.py:65-263). We skip the
+graph intermediate and parse straight to the long tables of schemas.py.
+
+Grammar subset (what test_chebi.obo + the reader unit tests exercise —
+reader.py:266-430, tests/test_obo_reader/test_reader.py):
+  [Term]/[Typedef] stanzas; tags id, name, def, synonym, xref, is_a,
+  alt_id, property_value, is_obsolete, subset, namespace; header tags
+  ontology, data-version, and the treat-xrefs-as-* macros
+  (reader.py:621-724) that reroute xrefs into equivalence/relation rows.
+
+Distribution: stanza parsing is embarrassingly parallel — the file is
+split into stanza chunks on the driver (ontology files are ≤ a few GB;
+the CORPUS is the big thing, not the ontologies), and chunks are parsed
+in an Arrow-batched mapInPandas. For a pathological multi-TB OBO file the
+same parser body runs over spark.read.text with a stanza-boundary
+repartition; not needed for any real ontology.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SYN_RE = re.compile(
+    r'^"(?P<text>(?:[^"\\]|\\.)*)"'
+    r"(?:\s+(?P<spec>EXACT|BROAD|NARROW|RELATED))?"
+    r"(?:\s+(?P<type>\S+))?"
+    r"(?:\s+\[(?P<prov>[^\]]*)\])?"
+)
+_DEF_RE = re.compile(r'^"(?P<text>(?:[^"\\]|\\.)*)"(?:\s+\[(?P<prov>[^\]]*)\])?')
+_UNESCAPE = re.compile(r"\\(.)")
+
+SPEC_TO_PREDICATE = {  # struct.py:157-160
+    "EXACT": "oboInOwl:hasExactSynonym",
+    "BROAD": "oboInOwl:hasBroadSynonym",
+    "NARROW": "oboInOwl:hasNarrowSynonym",
+    "RELATED": "oboInOwl:hasRelatedSynonym",
+}
+
+
+@dataclass
+class ParsedOntology:
+    prefix: str = ""
+    version: str | None = None
+    macros: dict[str, list[str]] = field(default_factory=dict)
+    terms: list[dict] = field(default_factory=list)
+    synonyms: list[dict] = field(default_factory=list)
+    xrefs: list[dict] = field(default_factory=list)
+    relations: list[dict] = field(default_factory=list)
+    parents: list[dict] = field(default_factory=list)
+    alts: list[dict] = field(default_factory=list)
+    properties: list[dict] = field(default_factory=list)
+    typedefs: list[dict] = field(default_factory=list)
+
+
+def _unescape(s: str) -> str:
+    return _UNESCAPE.sub(r"\1", s)
+
+
+def _split_curie(s: str) -> tuple[str, str]:
+    if ":" in s:
+        p, i = s.split(":", 1)
+        return p, i
+    return "", s
+
+
+def _clean_def(text: str) -> str:
+    """Reference definition cleanup (struct.py:1635-1638)."""
+    text = _unescape(text).replace("\n", " ").replace("\t", " ")
+    while "  " in text:
+        text = text.replace("  ", " ")
+    return text.strip()
+
+
+def parse_obo_text(text: str) -> ParsedOntology:
+    """Parse a full OBO document string (reference: from_str,
+    reader.py:126-143)."""
+    po = ParsedOntology()
+    stanza_type: str | None = None  # None = header
+    cur: dict = {}
+
+    def flush():
+        nonlocal cur
+        if not cur or "id" not in cur:
+            cur = {}
+            return
+        ident = cur["id"]
+        prefix, local = _split_curie(ident)
+        if stanza_type == "Typedef":
+            po.typedefs.append(
+                {"prefix": prefix or po.prefix, "identifier": local,
+                 "name": cur.get("name")}
+            )
+        elif stanza_type == "Term":
+            po.terms.append(
+                {
+                    "prefix": prefix.lower(),
+                    "identifier": local,
+                    "name": cur.get("name"),
+                    "definition": cur.get("def"),
+                    "namespace": cur.get("namespace"),
+                    "is_obsolete": cur.get("is_obsolete", "false") == "true",
+                    "species_id": None,
+                }
+            )
+        cur = {}
+
+    for raw_line in text.splitlines():
+        line = raw_line.split(" !", 1)[0].strip() if " !" in raw_line else raw_line.strip()
+        if not line:
+            continue
+        if line.startswith("["):
+            flush()
+            stanza_type = line.strip("[]")
+            continue
+        if ":" not in line:
+            continue
+        tag, _, value = line.partition(":")
+        tag, value = tag.strip(), value.strip()
+
+        if stanza_type is None:  # header
+            if tag == "ontology":
+                po.prefix = value.lower()
+            elif tag == "data-version":
+                po.version = value
+            elif tag.startswith("treat-xrefs-as-"):
+                kind = tag[len("treat-xrefs-as-"):]
+                po.macros.setdefault(kind, []).append(value.lower())
+            continue
+
+        if tag == "id":
+            cur["id"] = value
+        elif tag in ("name", "namespace", "is_obsolete"):
+            cur[tag] = value
+        elif tag == "def":
+            m = _DEF_RE.match(value)
+            if m:
+                cur["def"] = _clean_def(m.group("text"))
+        elif tag == "synonym" and "id" in cur:
+            m = _SYN_RE.match(value)
+            if m:
+                prefix, local = _split_curie(cur["id"])
+                po.synonyms.append(
+                    {
+                        "prefix": prefix.lower(),
+                        "identifier": local,
+                        "text": _unescape(m.group("text")),
+                        "predicate": SPEC_TO_PREDICATE.get(
+                            m.group("spec") or "EXACT",
+                            "oboInOwl:hasExactSynonym",
+                        ),
+                        "type": m.group("type"),
+                        "provenance": [
+                            p.strip()
+                            for p in (m.group("prov") or "").split(",")
+                            if p.strip()
+                        ],
+                        "language": None,
+                    }
+                )
+        elif tag == "xref" and "id" in cur:
+            prefix, local = _split_curie(cur["id"])
+            xp, xi = _split_curie(value.split(" ", 1)[0])
+            po.xrefs.append(
+                {
+                    "prefix": prefix.lower(), "identifier": local,
+                    "predicate": "oboInOwl:hasDbXref",
+                    "target_prefix": xp.lower(), "target_id": xi,
+                    "provenance": None,
+                }
+            )
+        elif tag == "is_a" and "id" in cur:
+            _, local = _split_curie(cur["id"])
+            _, tlocal = _split_curie(value)
+            po.parents.append({"child": local, "parent": tlocal})
+        elif tag == "alt_id" and "id" in cur:
+            prefix, local = _split_curie(cur["id"])
+            _, alocal = _split_curie(value)
+            po.alts.append(
+                {"prefix": prefix.lower(), "identifier": local, "alt_id": alocal}
+            )
+        elif tag == "relationship" and "id" in cur:
+            prefix, local = _split_curie(cur["id"])
+            parts = value.split()
+            if len(parts) >= 2:
+                rp, ri = _split_curie(parts[0])
+                tp, ti = _split_curie(parts[1])
+                po.relations.append(
+                    {
+                        "prefix": prefix.lower(), "identifier": local,
+                        "relation_prefix": rp or parts[0], "relation_id": ri,
+                        "target_prefix": tp.lower(), "target_id": ti,
+                    }
+                )
+        elif tag == "property_value" and "id" in cur:
+            prefix, local = _split_curie(cur["id"])
+            parts = value.split(" ", 1)
+            if len(parts) == 2:
+                val = parts[1].strip()
+                dtype = None
+                if val.startswith('"'):
+                    m = _DEF_RE.match(val)
+                    rest = val[m.end():].strip() if m else ""
+                    val = _unescape(m.group("text")) if m else val
+                    dtype = rest.split()[0] if rest else None
+                po.properties.append(
+                    {
+                        "source_curie": f"{prefix.lower()}:{local}",
+                        "predicate_curie": parts[0],
+                        "value": val,
+                        "datatype": dtype,
+                        "language": None,
+                    }
+                )
+    flush()
+
+    # treat-xrefs-as-* macros (reader.py:621-724): upgrade xrefs whose
+    # target prefix is listed into equivalence/relation rows.
+    if po.macros:
+        equiv = set(po.macros.get("equivalent", []))
+        isa = set(po.macros.get("is_a", []))
+        remaining = []
+        for x in po.xrefs:
+            if x["target_prefix"] in equiv:
+                x = dict(x, predicate="owl:equivalentClass")
+                remaining.append(x)
+            elif x["target_prefix"] in isa:
+                po.parents.append(
+                    {"child": x["identifier"], "parent": x["target_id"]}
+                )
+            else:
+                remaining.append(x)
+        po.xrefs = remaining
+    return po
+
+
+def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
+    """Parse many (name, obo_text) docs in parallel via mapInPandas and
+    return the union'd long tables as a dict of DataFrames."""
+    in_schema = T.StructType(
+        [T.StructField("name", T.StringType()), T.StructField("text", T.StringType())]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("table", T.StringType()),
+            T.StructField("row_json", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        for pdf in batches:
+            tables, rows = [], []
+            for text in pdf["text"]:
+                po = parse_obo_text(text)
+                for tname in ("terms", "synonyms", "xrefs", "relations",
+                              "parents", "alts", "properties", "typedefs"):
+                    for r in getattr(po, tname):
+                        tables.append(tname)
+                        rows.append(json.dumps(r))
+            yield pd.DataFrame({"table": tables, "row_json": rows})
+
+    df = spark.createDataFrame(texts, in_schema).repartition(
+        max(len(texts), 1)
+    ).mapInPandas(run, schema=out_schema)
+    df = df.persist()
+    out = {}
+    from .. import schemas
+
+    terms_schema = T.StructType(
+        [
+            T.StructField("prefix", T.StringType()),
+            T.StructField("identifier", T.StringType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("definition", T.StringType()),
+            T.StructField("namespace", T.StringType()),
+            T.StructField("is_obsolete", T.BooleanType()),
+            T.StructField("species_id", T.StringType()),
+        ]
+    )
+    xrefs_schema = T.StructType(
+        [
+            T.StructField("prefix", T.StringType()),
+            T.StructField("identifier", T.StringType()),
+            T.StructField("predicate", T.StringType()),
+            T.StructField("target_prefix", T.StringType()),
+            T.StructField("target_id", T.StringType()),
+            T.StructField("provenance", T.StringType()),
+        ]
+    )
+    parents_schema = T.StructType(
+        [T.StructField("child", T.StringType()), T.StructField("parent", T.StringType())]
+    )
+    typedefs_schema = T.StructType(
+        [
+            T.StructField("prefix", T.StringType()),
+            T.StructField("identifier", T.StringType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    table_schemas = {
+        "terms": terms_schema,
+        "synonyms": schemas.LITERAL_MAPPINGS,
+        "xrefs": xrefs_schema,
+        "relations": schemas.RELATIONS,
+        "parents": parents_schema,
+        "alts": schemas.ALTS,
+        "properties": schemas.LITERAL_PROPERTIES,
+        "typedefs": typedefs_schema,
+    }
+    for tname, schema in table_schemas.items():
+        sub = df.where(F.col("table") == tname).select("row_json")
+        out[tname] = sub.select(
+            F.from_json("row_json", schema).alias("r")
+        ).select("r.*")
+    return out

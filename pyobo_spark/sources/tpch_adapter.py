@@ -1,0 +1,244 @@
+"""Deterministic adapter: driver testdata (TPC-H-ish) → KG-plane tables.
+
+The driver's correctness gate runs our Spark queries against DuckDB oracle
+SQL over the same parquet (tables region nation customer supplier part
+orders lineitem events documents embeddings). To make every KG export
+operator oracle-checkable at any scale factor, we derive ontology-shaped
+tables (terms, synonyms, alts, relations, xref mappings, is_a parents)
+from the testdata with transforms that are expressible identically in
+Spark and ANSI SQL. Each derivation below ships BOTH forms side by side —
+a DataFrame builder and a SQL CTE string — so they cannot drift apart.
+
+The derived shapes mirror the reference's cache artifacts
+(/root/reference/src/pyobo/struct/struct.py:1293-1326): 'fixp' terms come
+from `part`, 'fixs' from `supplier`, relation rows from `lineitem`,
+xref/SSSOM edges from `customer`→`nation`→`region`, is_a parents from the
+p_partkey//10 tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- terms ----
+# prefix='fixp' terms from part; is_obsolete for p_partkey % 13 = 0;
+# definition carries doubled spaces to exercise the reference's whitespace
+# collapse (struct.py:1635-1638).
+
+TERMS_SQL = """
+SELECT 'fixp' AS prefix,
+       lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS identifier,
+       p_name AS name,
+       concat(p_type, '  ', p_brand) AS definition,
+       (p_partkey % 13 = 0) AS is_obsolete
+FROM part
+"""
+
+
+def terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        F.lit("fixp").alias("prefix"),
+        F.lpad(F.col("p_partkey").cast("string"), 7, "0").alias("identifier"),
+        F.col("p_name").alias("name"),
+        F.concat(F.col("p_type"), F.lit("  "), F.col("p_brand")).alias("definition"),
+        (F.col("p_partkey") % 13 == 0).alias("is_obsolete"),
+    )
+
+
+# ------------------------------------------------------------- synonyms ----
+# literal_mappings = labels (rdfs:label, struct_utils.py:1108-1119) plus
+# exact synonyms (upper-cased name) for even part keys.
+
+SYNONYMS_SQL = """
+SELECT 'fixp' AS prefix,
+       lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS identifier,
+       p_name AS text,
+       'rdfs:label' AS predicate
+FROM part
+UNION ALL
+SELECT 'fixp' AS prefix,
+       lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS identifier,
+       upper(p_name) AS text,
+       'oboInOwl:hasExactSynonym' AS predicate
+FROM part WHERE p_partkey % 2 = 0
+"""
+
+
+def synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    ident = F.lpad(F.col("p_partkey").cast("string"), 7, "0").alias("identifier")
+    labels = p.select(
+        F.lit("fixp").alias("prefix"),
+        ident,
+        F.col("p_name").alias("text"),
+        F.lit("rdfs:label").alias("predicate"),
+    )
+    syns = p.where(F.col("p_partkey") % 2 == 0).select(
+        F.lit("fixp").alias("prefix"),
+        ident,
+        F.upper(F.col("p_name")).alias("text"),
+        F.lit("oboInOwl:hasExactSynonym").alias("predicate"),
+    )
+    return labels.unionByName(syns)
+
+
+# ----------------------------------------------------------------- alts ----
+# every 7th part gets an alt id '9' + 6-digit key (api/alts.py semantics).
+
+ALTS_SQL = """
+SELECT 'fixp' AS prefix,
+       lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS identifier,
+       concat('9', lpad(CAST(p_partkey AS VARCHAR), 6, '0')) AS alt_id
+FROM part WHERE p_partkey % 7 = 0
+"""
+
+
+def alts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.where(F.col("p_partkey") % 7 == 0).select(
+        F.lit("fixp").alias("prefix"),
+        F.lpad(F.col("p_partkey").cast("string"), 7, "0").alias("identifier"),
+        F.concat(
+            F.lit("9"), F.lpad(F.col("p_partkey").cast("string"), 6, "0")
+        ).alias("alt_id"),
+    )
+
+
+# ------------------------------------------------------------ relations ----
+# Relation rows from lineitem. l_linenumber % 3 picks the predicate:
+#   0 -> BFO:0000050 part_of  (target fixs supplier)
+#   1 -> RO:0002162 in_taxon  (target ncbitaxon, species semantics
+#                              struct.py:454-470)
+#   2 -> XX:9999999           (UNDEFINED typedef — must be dropped by the
+#                              typedef-resolution filter, struct.py:1872-1888)
+# DISTINCT because lineitem repeats (partkey, suppkey) pairs.
+
+RELATIONS_RAW_SQL = """
+SELECT DISTINCT
+       'fixp' AS prefix,
+       lpad(CAST(l_partkey AS VARCHAR), 7, '0') AS identifier,
+       CASE l_linenumber % 3 WHEN 0 THEN 'BFO' WHEN 1 THEN 'RO' ELSE 'XX' END
+         AS relation_prefix,
+       CASE l_linenumber % 3 WHEN 0 THEN '0000050' WHEN 1 THEN '0002162'
+         ELSE '9999999' END AS relation_id,
+       CASE l_linenumber % 3 WHEN 1 THEN 'ncbitaxon' ELSE 'fixs' END
+         AS target_prefix,
+       CASE l_linenumber % 3 WHEN 1 THEN CAST(l_suppkey AS VARCHAR)
+         ELSE lpad(CAST(l_suppkey AS VARCHAR), 7, '0') END AS target_id
+FROM lineitem
+"""
+
+
+def relations_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    m3 = F.col("l_linenumber") % 3
+    return li.select(
+        F.lit("fixp").alias("prefix"),
+        F.lpad(F.col("l_partkey").cast("string"), 7, "0").alias("identifier"),
+        F.when(m3 == 0, "BFO").when(m3 == 1, "RO").otherwise("XX").alias(
+            "relation_prefix"
+        ),
+        F.when(m3 == 0, "0000050")
+        .when(m3 == 1, "0002162")
+        .otherwise("9999999")
+        .alias("relation_id"),
+        F.when(m3 == 1, "ncbitaxon").otherwise("fixs").alias("target_prefix"),
+        F.when(m3 == 1, F.col("l_suppkey").cast("string"))
+        .otherwise(F.lpad(F.col("l_suppkey").cast("string"), 7, "0"))
+        .alias("target_id"),
+    ).distinct()
+
+
+# ------------------------------------------------------- xref mappings -----
+# SSSOM-style edges from customer → nation; predicate cycles through the
+# match-predicate union (struct_utils.py:800-818, vocabulary.py:132-150).
+
+XREFS_SQL = """
+SELECT concat('fixc:', lpad(CAST(c_custkey AS VARCHAR), 7, '0')) AS subject_id,
+       CASE c_custkey % 3 WHEN 0 THEN 'oboInOwl:hasDbXref'
+         WHEN 1 THEN 'skos:exactMatch' ELSE 'owl:equivalentClass' END
+         AS predicate_id,
+       concat('fixn:', lpad(CAST(c_nationkey AS VARCHAR), 7, '0')) AS object_id
+FROM customer
+"""
+
+
+def xrefs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    m3 = F.col("c_custkey") % 3
+    return c.select(
+        F.concat(
+            F.lit("fixc:"), F.lpad(F.col("c_custkey").cast("string"), 7, "0")
+        ).alias("subject_id"),
+        F.when(m3 == 0, "oboInOwl:hasDbXref")
+        .when(m3 == 1, "skos:exactMatch")
+        .otherwise("owl:equivalentClass")
+        .alias("predicate_id"),
+        F.concat(
+            F.lit("fixn:"), F.lpad(F.col("c_nationkey").cast("string"), 7, "0")
+        ).alias("object_id"),
+    )
+
+
+# -------------------------------------------------------------- parents ----
+# is_a DAG: child p_partkey → parent p_partkey//10 (multi-level tree,
+# ~log10(N) deep — ancestors/descendants closure tests).
+
+PARENTS_SQL = """
+SELECT lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS child,
+       lpad(CAST(p_partkey // 10 AS VARCHAR), 7, '0') AS parent
+FROM part WHERE p_partkey >= 10
+"""
+
+
+def parents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.where(F.col("p_partkey") >= 10).select(
+        F.lpad(F.col("p_partkey").cast("string"), 7, "0").alias("child"),
+        F.lpad(F.expr("p_partkey DIV 10").cast("string"), 7, "0").alias("parent"),
+    )
+
+
+# -------------------------------------- equivalence edges (for CC) ---------
+# Undirected curie graph: customer—nation (from xrefs) plus nation—region
+# bridges. Connected components == regions; used to validate the
+# large-star/small-star CC job against a closed-form oracle.
+
+CC_EDGES_SQL = """
+SELECT concat('fixc:', lpad(CAST(c_custkey AS VARCHAR), 7, '0')) AS src,
+       concat('fixn:', lpad(CAST(c_nationkey AS VARCHAR), 7, '0')) AS dst
+FROM customer
+UNION ALL
+SELECT concat('fixn:', lpad(CAST(n_nationkey AS VARCHAR), 7, '0')) AS src,
+       concat('fixr:', lpad(CAST(n_regionkey AS VARCHAR), 7, '0')) AS dst
+FROM nation
+"""
+
+
+def cc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    cn = c.select(
+        F.concat(
+            F.lit("fixc:"), F.lpad(F.col("c_custkey").cast("string"), 7, "0")
+        ).alias("src"),
+        F.concat(
+            F.lit("fixn:"), F.lpad(F.col("c_nationkey").cast("string"), 7, "0")
+        ).alias("dst"),
+    )
+    nr = n.select(
+        F.concat(
+            F.lit("fixn:"), F.lpad(F.col("n_nationkey").cast("string"), 7, "0")
+        ).alias("src"),
+        F.concat(
+            F.lit("fixr:"), F.lpad(F.col("n_regionkey").cast("string"), 7, "0")
+        ).alias("dst"),
+    )
+    return cn.unionByName(nr)
