@@ -1,0 +1,86 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (evaluates every
+column, no driver collect). Also reports docs/sec for the grounding
+stage (the north-rule throughput figure).
+
+Scaling-efficiency evidence (N vs 4N parallelism on the same input) is
+produced by scaling_bench.py, reported in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyobo_spark import queries as Q  # noqa: E402
+from pyobo_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "mention_counts",           # corpus grounding (Aho-Corasick mapInPandas)
+    "mention_best",             # + top-1 window
+    "connected_components",     # iterative large-star/small-star CC
+    "ancestors",                # BFS transitive closure
+    "edges",                    # triple materialization union
+    "relations_typedef_filtered",
+    "alt_upgrade",              # broadcast dim join
+    "sssom_mappings",
+    "minhash_near_duplicates",  # MinHash+LSH near-dup
+    "dedup_exact",
+    "token_stats",
+    "doc_fingerprint",
+    "ann_cosine_topk",          # brute-force cosine top-k
+    "ann_cosine_lsh",           # multi-table LSH ANN
+    "pricing_summary",          # scan-heavy groupBy agg
+]
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+
+    # warm the JVM/parquet footers once so per-query numbers are steady
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        force(Q.QUERIES[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    grounding_sec = times["mention_counts"]
+    docs_per_sec = round(n_docs / grounding_sec, 1) if grounding_sec else None
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cpus": cpus,
+                "docs_per_sec_grounding": docs_per_sec,
+                "n_docs": n_docs,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -120,6 +120,52 @@ def build_automaton(entries: list[tuple[str, str, str]]) -> AhoCorasick:
     return ac
 
 
+@dataclass
+class HybridMatcher:
+    """Hot-path matcher: single-token patterns resolved by one dict lookup
+    per token (the overwhelmingly common case for label dictionaries);
+    multi-token patterns fall back to the Aho-Corasick automaton. Both
+    paths yield identical (start, end, curie, score) tuples, so semantics
+    match build_automaton exactly — this is purely a constant-factor
+    optimization of the Python hot loop inside the Arrow UDF."""
+
+    single: dict[str, list[tuple[str, float]]] = field(default_factory=dict)
+    multi: AhoCorasick | None = None
+
+    def search(self, tokens: list[str]):
+        single = self.single
+        for i, tok in enumerate(tokens):
+            hits = single.get(tok)
+            if hits:
+                for curie, score in hits:
+                    yield (i, i + 1, curie, score)
+        if self.multi is not None:
+            yield from self.multi.search(tokens)
+
+
+def build_matcher(entries: list[tuple[str, str, str]]) -> HybridMatcher:
+    """entries: (text, curie, predicate) → HybridMatcher."""
+    m = HybridMatcher()
+    multi_entries = []
+    for text, curie, predicate in entries:
+        folded = fold_text(text)
+        if not folded:
+            continue
+        score = PREDICATE_SCORE.get(predicate, 0.5)
+        toks = folded.split(" ")
+        if len(toks) == 1:
+            m.single.setdefault(toks[0], []).append((curie, score))
+        else:
+            multi_entries.append((toks, curie, score))
+    if multi_entries:
+        ac = AhoCorasick()
+        for toks, curie, score in multi_entries:
+            ac.add(tuple(toks), curie, score)
+        ac.build()
+        m.multi = ac
+    return m
+
+
 def dictionary_entries(
     literal_mappings_df, skip_obsolete_df=None
 ) -> list[tuple[str, str, str]]:

@@ -80,36 +80,104 @@ def reassemble_spans(exploded: DataFrame) -> DataFrame:
 
 
 def match_text_spans(
-    text_spans: DataFrame, automaton_broadcast
+    text_spans: DataFrame, automaton_broadcast, fold: bool = True
 ) -> DataFrame:
-    """Run the broadcast automaton over (doc_id, span_idx, text) rows."""
+    """Run the broadcast matcher (AhoCorasick or HybridMatcher — anything
+    with .search(tokens)) over (doc_id, span_idx, text) rows.
+
+    fold=False skips Python-side text folding — use when the text is
+    already folded (e.g. lower() applied JVM-side upstream, ASCII corpus);
+    halves the Python cost of the hot loop."""
 
     def matcher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ac: AhoCorasick = automaton_broadcast.value
+        ac = automaton_broadcast.value
+        search = ac.search
+        do_fold = fold
         for pdf in batches:
-            out: dict[str, list] = {
-                "doc_id": [], "span_idx": [], "token_start": [],
-                "token_end": [], "matched_text": [], "curie": [], "score": [],
-            }
+            doc_ids: list = []
+            span_idxs: list = []
+            starts: list = []
+            ends: list = []
+            texts: list = []
+            curies: list = []
+            scores: list = []
             for doc_id, span_idx, text in zip(
-                pdf["doc_id"], pdf["span_idx"], pdf["text"]
+                pdf["doc_id"].tolist(),
+                pdf["span_idx"].tolist(),
+                pdf["text"].tolist(),
             ):
                 if not text:
                     continue
-                tokens = fold_text(text).split(" ")
-                for start, end, curie, score in ac.search(tokens):
-                    out["doc_id"].append(doc_id)
-                    out["span_idx"].append(span_idx)
-                    out["token_start"].append(start)
-                    out["token_end"].append(end)
-                    out["matched_text"].append(" ".join(tokens[start:end]))
-                    out["curie"].append(curie)
-                    out["score"].append(score)
-            yield pd.DataFrame(out)
+                tokens = (fold_text(text) if do_fold else text).split(" ")
+                for start, end, curie, score in search(tokens):
+                    doc_ids.append(doc_id)
+                    span_idxs.append(span_idx)
+                    starts.append(start)
+                    ends.append(end)
+                    texts.append(" ".join(tokens[start:end]))
+                    curies.append(curie)
+                    scores.append(score)
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids, "span_idx": span_idxs,
+                    "token_start": starts, "token_end": ends,
+                    "matched_text": texts, "curie": curies, "score": scores,
+                }
+            )
 
     return text_spans.select(
         F.col("doc_id").cast("string"), "span_idx", "text"
     ).mapInPandas(matcher, schema=MATCH_SCHEMA)
+
+
+COUNT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("curie", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def match_mention_counts(
+    text_spans: DataFrame, matcher_broadcast, fold: bool = True
+) -> DataFrame:
+    """Map-side-combined mention counting: the UDF emits (doc_id, curie,
+    partial_count) instead of one row per occurrence — the partial
+    aggregation happens INSIDE the Arrow batch (classic map-side combine),
+    so the shuffle carries ~|distinct (doc, curie)| rows, not |mentions|.
+    Finish with groupBy(doc_id, curie).sum. Identical results to
+    match_text_spans + groupBy count, at a fraction of the transfer and
+    shuffle volume — this is the hot path for corpus-scale counter
+    stages (db_output_helper counters, getters.py:477-571)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ac = matcher_broadcast.value
+        search = ac.search
+        do_fold = fold
+        for pdf in batches:
+            doc_ids: list = []
+            curies: list = []
+            ns: list = []
+            for doc_id, text in zip(
+                pdf["doc_id"].tolist(), pdf["text"].tolist()
+            ):
+                if not text:
+                    continue
+                tokens = (fold_text(text) if do_fold else text).split(" ")
+                cnt: dict[str, int] = {}
+                for _, _, curie, _ in search(tokens):
+                    cnt[curie] = cnt.get(curie, 0) + 1
+                if cnt:
+                    doc_ids.extend([doc_id] * len(cnt))
+                    curies.extend(cnt.keys())
+                    ns.extend(cnt.values())
+            yield pd.DataFrame({"doc_id": doc_ids, "curie": curies, "n": ns})
+
+    partial = text_spans.select(
+        F.col("doc_id").cast("string"), "text"
+    ).mapInPandas(run, schema=COUNT_SCHEMA)
+    return partial.groupBy("doc_id", "curie").agg(F.sum("n").alias("n_mentions"))
 
 
 def best_match(mentions: DataFrame) -> DataFrame:

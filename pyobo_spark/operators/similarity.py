@@ -110,19 +110,43 @@ def cosine_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_bits: int = 8,
+    n_bits: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: compare only within matching hyperplane buckets."""
-    c = hyperplane_signatures(embeddings, n_bits=n_bits, dim=dim).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cvec"),
-        "bucket",
-    )
-    q = hyperplane_signatures(queries, n_bits=n_bits, dim=dim).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qvec"),
-        "bucket",
+    """Approximate top-k via MULTI-TABLE hyperplane LSH: L independent
+    hash tables; candidates = union of per-table bucket matches (standard
+    recall amplification: hit prob 1-(1-p^b)^L). The candidate join key is
+    (table, bucket) — high cardinality, skew-free; exact cosine is then
+    computed only on candidates."""
+    c = embeddings.select(F.col("vec_id").alias("neighbor_id"),
+                          F.col("embedding").alias("cvec"))
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qvec"))
+    c_sig = None
+    q_sig = None
+    for t in range(n_tables):
+        cs = hyperplane_signatures(
+            c.withColumnRenamed("neighbor_id", "vec_id")
+             .withColumnRenamed("cvec", "embedding"),
+            n_bits=n_bits, dim=dim, seed=42 + t,
+        ).select(
+            F.col("vec_id").alias("neighbor_id"), F.lit(t).alias("table"), "bucket"
+        )
+        qs = hyperplane_signatures(
+            q.withColumnRenamed("query_id", "vec_id")
+             .withColumnRenamed("qvec", "embedding"),
+            n_bits=n_bits, dim=dim, seed=42 + t,
+        ).select(
+            F.col("vec_id").alias("query_id"), F.lit(t).alias("table"), "bucket"
+        )
+        c_sig = cs if c_sig is None else c_sig.unionByName(cs)
+        q_sig = qs if q_sig is None else q_sig.unionByName(qs)
+    cand = (
+        c_sig.join(F.broadcast(q_sig), on=["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
     c = _with_norm(c, "cvec").withColumnRenamed("_norm", "cnorm")
     q = _with_norm(q, "qvec").withColumnRenamed("_norm", "qnorm")
@@ -132,8 +156,7 @@ def cosine_topk_lsh(
         lambda acc, x: acc + x,
     )
     scored = (
-        c.join(F.broadcast(q), on="bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(c, on="neighbor_id").join(F.broadcast(q), on="query_id")
         .withColumn("cosine", dot / (F.col("qnorm") * F.col("cnorm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

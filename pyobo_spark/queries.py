@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .grounding import matcher
-from .grounding.dictionary import build_automaton
+from .grounding.dictionary import build_automaton, build_matcher
 from .operators import dedup, exports, hierarchy, similarity, textstats
 from .operators.components import connected_components
 from .sources import tpch_adapter as tp
@@ -263,12 +263,11 @@ SELECT curie, min(curie) OVER (PARTITION BY g) AS component FROM members
 
 
 def q_mention_counts(spark, sf_dir):
-    ac = build_automaton(MENTION_DICT)
+    ac = build_matcher(MENTION_DICT)
     bc = spark.sparkContext.broadcast(ac)
-    raw = matcher.match_text_spans(_docs_as_spans(spark, sf_dir), bc)
-    return (
-        raw.groupBy(F.col("doc_id").cast("bigint").alias("doc_id"), "curie")
-        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    out = matcher.match_mention_counts(_docs_as_spans(spark, sf_dir), bc)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "curie", "n_mentions"
     )
 
 
@@ -284,7 +283,7 @@ GROUP BY t.doc_id, d.curie
 
 
 def q_mention_best(spark, sf_dir):
-    ac = build_automaton(MENTION_DICT)
+    ac = build_matcher(MENTION_DICT)
     bc = spark.sparkContext.broadcast(ac)
     raw = matcher.match_text_spans(_docs_as_spans(spark, sf_dir), bc)
     best = matcher.best_match(raw)

@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 _SYN_RE = re.compile(
     r'^"(?P<text>(?:[^"\\]|\\.)*)"'
     r"(?:\s+(?P<spec>EXACT|BROAD|NARROW|RELATED))?"
-    r"(?:\s+(?P<type>\S+))?"
+    r"(?:\s+(?P<type>[^\s\[]\S*))?"
     r"(?:\s+\[(?P<prov>[^\]]*)\])?"
 )
 _DEF_RE = re.compile(r'^"(?P<text>(?:[^"\\]|\\.)*)"(?:\s+\[(?P<prov>[^\]]*)\])?')
@@ -63,8 +63,15 @@ class ParsedOntology:
     typedefs: list[dict] = field(default_factory=list)
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "W": " ", ":": ":", ",": ",", '"': '"',
+             "\\": "\\", "(": "(", ")": ")", "[": "[", "]": "]", "{": "{",
+             "}": "}"}
+
+
 def _unescape(s: str) -> str:
-    return _UNESCAPE.sub(r"\1", s)
+    """OBO 1.2 escape table: \\n newline, \\t tab, \\W space, plus
+    pass-through for escaped punctuation."""
+    return _UNESCAPE.sub(lambda m: _ESCAPES.get(m.group(1), m.group(1)), s)
 
 
 def _split_curie(s: str) -> tuple[str, str]:

@@ -1,0 +1,142 @@
+"""End-to-end KG pipeline over the seeded fixtures — the BASELINE.json
+correctness gates:
+- mention-detection P/R >= 0.95 vs planted golden mentions;
+- per-row span-sequence equality (kind, text, media_ref, order) through
+  the parse stage;
+- connected components vs closed-form expected classes (incl. the ~30%%
+  skew hub);
+- best-match disambiguation (label beats related synonym).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyobo_spark.fixtures import generator
+from pyobo_spark.grounding import dictionary, matcher
+from pyobo_spark.operators import components
+from pyobo_spark.pipeline import kg_build
+
+
+@pytest.fixture(scope="module")
+def fx():
+    return generator.generate(n_terms=120, n_docs=400)
+
+
+@pytest.fixture(scope="module")
+def tables(spark, fx):
+    return generator.to_spark(spark, fx)
+
+
+@pytest.fixture(scope="module")
+def outputs(spark, tables):
+    return kg_build.run_kg_pipeline(spark, tables, skip_obsolete=False)
+
+
+def _pr(pred_df, gold_df, keys):
+    pred = {tuple(r[k] for k in keys) for r in pred_df.collect()}
+    gold = {tuple(r[k] for k in keys) for r in gold_df.collect()}
+    tp = len(pred & gold)
+    precision = tp / len(pred) if pred else 0.0
+    recall = tp / len(gold) if gold else 0.0
+    return precision, recall
+
+
+def test_mention_pr(outputs, tables):
+    """P/R >= 0.95 triple-extraction gate (BASELINE.json metric)."""
+    pred = outputs["mentions"].select("doc_id", "span_idx", "curie").distinct()
+    gold = tables["expected_mentions"]
+    p, r = _pr(pred, gold, ["doc_id", "span_idx", "curie"])
+    assert p >= 0.95, f"precision {p}"
+    assert r >= 0.95, f"recall {r}"
+
+
+def test_span_sequence_equality(spark, tables):
+    """explode → reassemble must preserve (kind, text, media_ref, order)
+    for EVERY row — the input_hint per-row invariant."""
+    docs = tables["documents"]
+    exploded = matcher.explode_spans(docs)
+    back = matcher.reassemble_spans(exploded)
+    orig = docs.select("doc_id", "spans")
+    n_docs = orig.count()
+    matched = orig.join(back, on=["doc_id", "spans"], how="inner").count()
+    assert matched == n_docs == back.count()
+
+
+def test_connected_components_with_skew_hub(spark, tables):
+    xr = tables["xrefs"]
+    cc_edges = xr.select(
+        F.concat("prefix", F.lit(":"), "identifier").alias("src"),
+        F.concat("target_prefix", F.lit(":"), "target_id").alias("dst"),
+    )
+    got = {
+        (r["curie"], r["component"])
+        for r in components.connected_components(cc_edges).collect()
+    }
+    exp = {
+        (r["curie"], r["component"])
+        for r in tables["expected_components"].collect()
+    }
+    assert got == exp
+
+
+def test_best_match_disambiguation(spark, tables, outputs):
+    """'shared token' belongs to fixo:0000001 (related) and fixo:0000002
+    (exact) — exact synonym must win (score hierarchy)."""
+    lm = kg_build.build_literal_mappings(tables["terms"], tables["synonyms"])
+    entries = dictionary.dictionary_entries(lm)
+    ac = dictionary.build_automaton(entries)
+    bc = tables["terms"].sparkSession.sparkContext.broadcast(ac)
+    docs = tables["terms"].sparkSession.createDataFrame(
+        [("d1", [("text", "we saw a shared token here", None, 0)])],
+        tables["documents"].schema,
+    )
+    got = matcher.detect_mentions(docs, bc).collect()
+    assert len(got) == 1
+    assert got[0]["curie"] == "fixo:0000002"
+
+
+def test_alt_canonicalization(spark, tables):
+    """Mentions grounding to an alt id must be upgraded to the primary
+    (api/alts.py:89-105)."""
+    from pyobo_spark.operators.exports import alt_upgrade
+
+    alts = tables["alts"]
+    refs = spark.createDataFrame(
+        [("8000001",), ("0000002",)], "identifier string"
+    )
+    out = {
+        r["identifier"]: r["primary_identifier"]
+        for r in alt_upgrade(refs, alts).collect()
+    }
+    assert out["8000001"] == "0000001"
+    assert out["0000002"] == "0000002"
+
+
+def test_triples_shape(outputs):
+    t = outputs["triples"]
+    assert t.columns == ["subject_curie", "predicate_curie", "object_curie"]
+    assert t.count() > 0
+    preds = {r["predicate_curie"] for r in t.select("predicate_curie").distinct().collect()}
+    assert "pyobo:mentions" in preds
+    assert "rdfs:subClassOf" in preds
+    assert "BFO:0000050" in preds
+    # undefined typedef ZZ:0000001 must have been dropped
+    assert "ZZ:0000001" not in preds
+
+
+def test_obsolete_skip(spark, tables):
+    """skip_obsolete anti-join removes obsolete terms' labels from the
+    dictionary (api/names.py:332-341)."""
+    lm = kg_build.build_literal_mappings(tables["terms"], tables["synonyms"])
+    from pyobo_spark.operators.exports import obsoletes
+
+    entries_all = dictionary.dictionary_entries(lm)
+    entries_skip = dictionary.dictionary_entries(
+        lm, skip_obsolete_df=obsoletes(tables["terms"])
+    )
+    curies_all = {c for _, c, _ in entries_all}
+    curies_skip = {c for _, c, _ in entries_skip}
+    assert "fixo:0000017" in curies_all  # 17 % 17 == 0 → obsolete
+    assert "fixo:0000017" not in curies_skip

@@ -1,0 +1,93 @@
+"""OBO flat-file parser vs the reference's reader semantics
+(struct/obo/reader.py; grammar cases modeled on
+tests/test_obo_reader/test_reader.py — inline OBO strings)."""
+
+from __future__ import annotations
+
+from pyobo_spark.sources.obo_reader import parse_obo_text
+
+CHEBI_LIKE = """format-version: 1.4
+ontology: chebi
+data-version: 231
+treat-xrefs-as-equivalent: wikidata
+
+[Term]
+id: CHEBI:1234
+name: caffeine
+def: "A purine\\talkaloid  found in coffee." [pubmed:123, pubmed:456]
+synonym: "1,3,7-trimethylxanthine" EXACT [pubmed:789]
+synonym: "coffee stuff" RELATED
+xref: CAS:58-08-2
+xref: wikidata:Q60235
+is_a: CHEBI:26385
+alt_id: CHEBI:999
+property_value: IAO:0000412 "http://example.org" xsd:anyURI
+relationship: BFO:0000050 CHEBI:27732
+
+[Term]
+id: CHEBI:26385
+name: purine alkaloid
+is_obsolete: true
+
+[Typedef]
+id: BFO:0000050
+name: part of
+"""
+
+
+def test_terms():
+    po = parse_obo_text(CHEBI_LIKE)
+    assert po.prefix == "chebi"
+    assert po.version == "231"
+    assert len(po.terms) == 2
+    t = po.terms[0]
+    assert t["identifier"] == "1234"
+    assert t["name"] == "caffeine"
+    # definition cleanup: quotes stripped, \t → space, doubled space collapsed
+    assert t["definition"] == "A purine alkaloid found in coffee."
+    assert po.terms[1]["is_obsolete"] is True
+
+
+def test_synonyms():
+    po = parse_obo_text(CHEBI_LIKE)
+    assert len(po.synonyms) == 2
+    s = po.synonyms[0]
+    assert s["text"] == "1,3,7-trimethylxanthine"
+    assert s["predicate"] == "oboInOwl:hasExactSynonym"
+    assert s["provenance"] == ["pubmed:789"]
+    assert po.synonyms[1]["predicate"] == "oboInOwl:hasRelatedSynonym"
+
+
+def test_xref_macro_upgrade():
+    """treat-xrefs-as-equivalent reroutes wikidata xrefs to
+    owl:equivalentClass (reader.py:621-724)."""
+    po = parse_obo_text(CHEBI_LIKE)
+    preds = {(x["target_prefix"], x["predicate"]) for x in po.xrefs}
+    assert ("wikidata", "owl:equivalentClass") in preds
+    assert ("cas", "oboInOwl:hasDbXref") in preds
+
+
+def test_hierarchy_alts_relations_properties():
+    po = parse_obo_text(CHEBI_LIKE)
+    assert po.parents == [{"child": "1234", "parent": "26385"}]
+    assert po.alts[0]["alt_id"] == "999"
+    r = po.relations[0]
+    assert (r["relation_prefix"], r["relation_id"]) == ("BFO", "0000050")
+    assert r["target_id"] == "27732"
+    p = po.properties[0]
+    assert p["predicate_curie"] == "IAO:0000412"
+    assert p["value"] == "http://example.org"
+    assert p["datatype"] == "xsd:anyURI"
+    assert po.typedefs[0]["name"] == "part of"
+
+
+def test_parse_obo_files_spark(spark):
+    from pyobo_spark.sources.obo_reader import parse_obo_files
+
+    tables = parse_obo_files(spark, [("chebi", CHEBI_LIKE)])
+    assert tables["terms"].count() == 2
+    assert tables["synonyms"].count() == 2
+    names = {
+        r["identifier"]: r["name"] for r in tables["terms"].collect()
+    }
+    assert names["1234"] == "caffeine"

@@ -1,0 +1,126 @@
+"""Unit tests for operators not covered by the oracle-parity suite:
+dedup planted-pair detection, LSH recall vs brute force, hierarchy
+helpers, pipeline checkpoint/resume, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyobo_spark.operators import dedup, hierarchy, multimodal, similarity
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    base = [(i, " ".join(f"tok{j + i}" for j in range(40))) for i in range(30)]
+    dups = [(100 + i, " ".join(f"tok{j + i}" for j in range(1, 40)))
+            for i in range(10)]
+    docs = spark.createDataFrame(base + dups, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    planted = {(i, 100 + i) for i in range(10)}
+    found = planted & pairs
+    assert len(found) >= 9  # ≥90% recall on 39/40-token overlap pairs
+
+
+def test_exact_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = dedup.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["keep_id"] == 1 and out[0]["n_dups"] == 2
+
+
+def test_simhash_identical_texts_equal(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["simhash"] for r in
+           dedup.simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    bf = similarity.cosine_topk_bruteforce(emb, queries, k=3)
+    lsh = similarity.cosine_topk_lsh(emb, queries, k=3, n_bits=4)
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    lsh_pairs = {(r["query_id"], r["neighbor_id"]) for r in lsh.collect()}
+    # LSH is approximate: require non-trivial overlap with exact top-k
+    assert len(bf_pairs & lsh_pairs) >= len(bf_pairs) * 0.3
+
+
+def test_descendants_and_subhierarchy(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "a"), ("d", "b"), ("e", "d")],
+        "child string, parent string",
+    )
+    desc = {
+        (r["identifier"], r["descendant"])
+        for r in hierarchy.descendants(edges).collect()
+    }
+    assert ("a", "e") in desc and ("b", "e") in desc and ("a", "c") in desc
+    sub = {
+        (r["child"], r["parent"])
+        for r in hierarchy.subhierarchy(edges, "b").collect()
+    }
+    assert sub == {("d", "b"), ("e", "d")}
+    anc = {
+        (r["identifier"], r["ancestor"])
+        for r in hierarchy.ancestors(edges).collect()
+    }
+    assert ("e", "a") in anc
+
+
+def test_pipeline_checkpoint_resume(spark, tmp_path):
+    from pyobo_spark.pipeline.stages import PipelineRunner
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(5).withColumnRenamed("id", "prefix")
+
+    r1 = PipelineRunner(spark, str(tmp_path))
+    df = r1.stage("s1", build, counter_cols=("prefix",))
+    assert df.count() == 5 and calls["n"] == 1
+    # second runner resumes from the manifest — build NOT re-invoked
+    r2 = PipelineRunner(spark, str(tmp_path))
+    df2 = r2.stage("s1", build)
+    assert df2.count() == 5 and calls["n"] == 1
+    assert r2.results[0].skipped
+    # force re-runs
+    r3 = PipelineRunner(spark, str(tmp_path), force=True)
+    r3.stage("s1", build)
+    assert calls["n"] == 2
+
+
+def test_media_feature_plumbing(spark):
+    media = spark.createDataFrame(
+        [("m1", "image", bytearray(b"xyz"), None, None, None, None),
+         ("m2", "audio", None, None, None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {r["media_ref"]: r for r in
+            multimodal.extract_media_features(media, dim=4).collect()}
+    assert rows["m1"]["decode_status"] == "ok_fake"
+    assert len(rows["m1"]["feature"]) == 4
+    assert rows["m2"]["decode_status"] == "missing"
+    # deterministic: same bytes → same feature
+    again = {r["media_ref"]: r for r in
+             multimodal.extract_media_features(media, dim=4).collect()}
+    assert rows["m1"]["feature"] == again["m1"]["feature"]
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [("v1", "video", None, None, None, None, 3500)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    ts = [r["frame_ts_ms"] for r in
+          multimodal.frame_sample_plan(media, every_ms=1000).collect()]
+    assert ts == [0, 1000, 2000, 3000]
