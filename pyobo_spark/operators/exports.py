@@ -170,6 +170,147 @@ def alt_upgrade(refs: DataFrame, alts: DataFrame, id_col: str = "identifier") ->
     ).drop("alt_id", "_primary")
 
 
+def properties_combined(
+    literal_props: DataFrame, object_props: DataFrame, prefix: str
+) -> DataFrame:
+    """get_properties_df (api/properties.py:110-124): concat literal +
+    object property rows, strip '{prefix}:' from the source curie.
+    Object targets land in `value` with null datatype."""
+    lit_rows = literal_props.select(
+        F.regexp_replace("source_curie", f"^{prefix}:", "").alias("identifier"),
+        F.col("predicate_curie").alias("property"),
+        "value",
+        "datatype",
+    )
+    obj_rows = object_props.select(
+        F.regexp_replace("source_curie", f"^{prefix}:", "").alias("identifier"),
+        F.col("predicate_curie").alias("property"),
+        F.col("target_curie").alias("value"),
+        F.lit(None).cast("string").alias("datatype"),
+    )
+    return lit_rows.unionByName(obj_rows)
+
+
+def filtered_properties_mapping(
+    literal_props: DataFrame, predicate: str, prefix: str
+) -> DataFrame:
+    """get_filtered_properties_mapping (api/properties.py:128-213):
+    filter property == p, one value per id (min for determinism where the
+    reference asserts uniqueness)."""
+    return (
+        literal_props.where(F.col("predicate_curie") == predicate)
+        .select(
+            F.regexp_replace("source_curie", f"^{prefix}:", "").alias("identifier"),
+            "value",
+        )
+        .groupBy("identifier")
+        .agg(F.min("value").alias("value"))
+    )
+
+
+def filtered_properties_multimapping(
+    literal_props: DataFrame, predicate: str, prefix: str
+) -> DataFrame:
+    """get_filtered_properties_multimapping: id → sorted value list
+    (joined string for stable comparison)."""
+    return (
+        literal_props.where(F.col("predicate_curie") == predicate)
+        .select(
+            F.regexp_replace("source_curie", f"^{prefix}:", "").alias("identifier"),
+            "value",
+        )
+        .groupBy("identifier")
+        .agg(F.concat_ws("|", F.sort_array(F.collect_list("value"))).alias("values"))
+    )
+
+
+def relation_mapping(
+    relations: DataFrame, relation_prefix: str, relation_id: str, target_prefix: str
+) -> DataFrame:
+    """get_relation_mapping (struct.py:1956-2023): id → single target id
+    for one relation+target prefix (reference builds a dict assuming
+    uniqueness; min() makes the collision case deterministic)."""
+    return (
+        relations.where(
+            (F.col("relation_prefix") == relation_prefix)
+            & (F.col("relation_id") == relation_id)
+            & (F.col("target_prefix") == target_prefix)
+        )
+        .groupBy("identifier")
+        .agg(F.min("target_id").alias("target_id"))
+    )
+
+
+def relation_multimapping(
+    relations: DataFrame, relation_prefix: str, relation_id: str, target_prefix: str
+) -> DataFrame:
+    """get_relation_multimapping / get_id_multirelations_mapping
+    (struct.py:2025-2039): id → sorted list of target ids."""
+    return (
+        relations.where(
+            (F.col("relation_prefix") == relation_prefix)
+            & (F.col("relation_id") == relation_id)
+            & (F.col("target_prefix") == target_prefix)
+        )
+        .groupBy("identifier")
+        .agg(
+            F.concat_ws(
+                "|", F.sort_array(F.collect_set("target_id"))
+            ).alias("target_ids")
+        )
+    )
+
+
+def name_id_mapping(terms: DataFrame) -> DataFrame:
+    """get_name_id_mapping (api/names.py:239-245) — inverted names map.
+    The reference builds a dict (last-wins on collision); we make the
+    collision policy explicit and deterministic: min(identifier)."""
+    return (
+        terms.where(F.col("name").isNotNull())
+        .groupBy("prefix", "name")
+        .agg(F.min("identifier").alias("identifier"))
+    )
+
+
+def nodes_export(terms: DataFrame, synonyms: DataFrame) -> DataFrame:
+    """Neo4j nodes artifact (write_nodes, struct.py:1181-1253): one row
+    per term with ';'-joined sorted synonyms, deprecated flag as
+    'true'/'false' strings (struct.py:1226)."""
+    syn = synonyms.groupBy("prefix", "identifier").agg(
+        F.concat_ws(";", F.sort_array(F.collect_list("text"))).alias("synonyms")
+    )
+    return (
+        terms.join(syn, on=["prefix", "identifier"], how="left")
+        .select(
+            F.concat("prefix", F.lit(":"), "identifier").alias("curie"),
+            "name",
+            F.coalesce("synonyms", F.lit("")).alias("synonyms"),
+            F.when(F.col("is_obsolete"), "true").otherwise("false").alias(
+                "deprecated"
+            ),
+        )
+    )
+
+
+def grounder_index(literal_mappings: DataFrame) -> DataFrame:
+    """The grounder's lexical-index build as a relational op: group
+    literal mappings by folded text → sorted candidate list (reference
+    delegates to ssslm.make_grounder, struct.py:2100; the index is
+    text → candidates)."""
+    return (
+        literal_mappings.select(
+            F.lower(F.col("text")).alias("text_folded"),
+            F.concat("prefix", F.lit(":"), "identifier").alias("curie"),
+        )
+        .groupBy("text_folded")
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_set("curie"))).alias(
+                "candidates"
+            )
+        )
+    )
+
+
 def summary_counters(df: DataFrame, key: str = "prefix") -> DataFrame:
     """db_output_helper's Counter-by-first-column (getters.py:502-552):
     map-side partial agg + final hash agg."""

@@ -15,8 +15,10 @@ bucket-join; probes only matching buckets, trading recall for a
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
@@ -106,6 +108,55 @@ def hyperplane_signatures(
     )
 
 
+def multitable_signatures(
+    embeddings: DataFrame,
+    n_bits: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All L hash-table signatures in ONE vectorized Arrow pass:
+    batch matrix multiply (n_rows × dim) · (dim × L*b) in numpy, then
+    bit-pack per table. Replaces L×b separate JVM aggregate expressions,
+    whose literal-array plan trees were the bottleneck. Returns
+    (vec_id, table, bucket)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_tables * n_bits))
+    weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": [], "table": [], "bucket": []})
+                continue
+            mat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            bits = (mat @ planes > 0).reshape(len(pdf), n_tables, n_bits)
+            buckets = (bits * weights).sum(axis=2)  # (n_rows, n_tables)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf[id_col].to_numpy(), n_tables),
+                    "table": np.tile(np.arange(n_tables), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return embeddings.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("table", T.IntegerType()),
+                T.StructField("bucket", T.LongType()),
+            ]
+        ),
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -123,25 +174,12 @@ def cosine_topk_lsh(
                           F.col("embedding").alias("cvec"))
     q = queries.select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("qvec"))
-    c_sig = None
-    q_sig = None
-    for t in range(n_tables):
-        cs = hyperplane_signatures(
-            c.withColumnRenamed("neighbor_id", "vec_id")
-             .withColumnRenamed("cvec", "embedding"),
-            n_bits=n_bits, dim=dim, seed=42 + t,
-        ).select(
-            F.col("vec_id").alias("neighbor_id"), F.lit(t).alias("table"), "bucket"
-        )
-        qs = hyperplane_signatures(
-            q.withColumnRenamed("query_id", "vec_id")
-             .withColumnRenamed("qvec", "embedding"),
-            n_bits=n_bits, dim=dim, seed=42 + t,
-        ).select(
-            F.col("vec_id").alias("query_id"), F.lit(t).alias("table"), "bucket"
-        )
-        c_sig = cs if c_sig is None else c_sig.unionByName(cs)
-        q_sig = qs if q_sig is None else q_sig.unionByName(qs)
+    c_sig = multitable_signatures(
+        embeddings, n_bits=n_bits, n_tables=n_tables, dim=dim
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    q_sig = multitable_signatures(
+        queries, n_bits=n_bits, n_tables=n_tables, dim=dim
+    ).withColumnRenamed("vec_id", "query_id")
     cand = (
         c_sig.join(F.broadcast(q_sig), on=["table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -462,6 +462,295 @@ FROM relations GROUP BY relation_prefix, relation_id
 """
 
 
+def q_descendants(spark, sf_dir):
+    return hierarchy.descendants(tp.parents(spark, sf_dir))
+
+
+SQL_DESCENDANTS = f"""
+WITH RECURSIVE parents AS ({tp.PARENTS_SQL}),
+des(identifier, descendant) AS (
+  SELECT parent, child FROM parents
+  UNION
+  SELECT d.identifier, p.child
+  FROM des d JOIN parents p ON d.descendant = p.parent
+)
+SELECT identifier, descendant FROM des
+"""
+
+
+def q_has_ancestor(spark, sf_dir):
+    parents = tp.parents(spark, sf_dir)
+    nodes = parents.select("child").distinct().withColumnRenamed(
+        "child", "identifier"
+    )
+    return hierarchy.has_ancestor(parents, nodes, "0000001")
+
+
+SQL_HAS_ANCESTOR = f"""
+WITH RECURSIVE parents AS ({tp.PARENTS_SQL}),
+anc(identifier, ancestor) AS (
+  SELECT child, parent FROM parents
+  UNION
+  SELECT a.identifier, p.parent
+  FROM anc a JOIN parents p ON a.ancestor = p.child
+)
+SELECT DISTINCT identifier FROM anc WHERE ancestor = '0000001'
+"""
+
+
+def q_subhierarchy(spark, sf_dir):
+    return hierarchy.subhierarchy(tp.parents(spark, sf_dir), "0000001")
+
+
+SQL_SUBHIERARCHY = f"""
+WITH RECURSIVE parents AS ({tp.PARENTS_SQL}),
+des(node) AS (
+  SELECT '0000001'
+  UNION
+  SELECT p.child FROM des d JOIN parents p ON p.parent = d.node
+)
+SELECT child, parent FROM parents
+WHERE child IN (SELECT node FROM des) AND parent IN (SELECT node FROM des)
+"""
+
+
+def q_name_id_mapping(spark, sf_dir):
+    return exports.name_id_mapping(tp.terms(spark, sf_dir))
+
+
+SQL_NAME_ID_MAPPING = f"""
+WITH terms AS ({tp.TERMS_SQL})
+SELECT prefix, name, min(identifier) AS identifier
+FROM terms WHERE name IS NOT NULL GROUP BY prefix, name
+"""
+
+
+def q_properties_combined(spark, sf_dir):
+    return exports.properties_combined(
+        tp.literal_properties(spark, sf_dir),
+        tp.object_properties(spark, sf_dir),
+        prefix="fixp",
+    )
+
+
+SQL_PROPERTIES_COMBINED = f"""
+WITH lit AS ({tp.LITERAL_PROPERTIES_SQL}),
+obj AS ({tp.OBJECT_PROPERTIES_SQL})
+SELECT regexp_replace(source_curie, '^fixp:', '') AS identifier,
+       predicate_curie AS property, value, datatype
+FROM lit
+UNION ALL
+SELECT regexp_replace(source_curie, '^fixp:', ''),
+       predicate_curie, target_curie, CAST(NULL AS VARCHAR)
+FROM obj
+"""
+
+
+def q_filtered_properties_mapping(spark, sf_dir):
+    return exports.filtered_properties_mapping(
+        tp.literal_properties(spark, sf_dir), "pyobo:size", prefix="fixp"
+    )
+
+
+SQL_FILTERED_PROPERTIES_MAPPING = f"""
+WITH lit AS ({tp.LITERAL_PROPERTIES_SQL})
+SELECT regexp_replace(source_curie, '^fixp:', '') AS identifier,
+       min(value) AS value
+FROM lit WHERE predicate_curie = 'pyobo:size'
+GROUP BY regexp_replace(source_curie, '^fixp:', '')
+"""
+
+
+def q_filtered_properties_multimapping(spark, sf_dir):
+    return exports.filtered_properties_multimapping(
+        tp.literal_properties(spark, sf_dir), "rdfs:comment", prefix="fixp"
+    )
+
+
+SQL_FILTERED_PROPERTIES_MULTIMAPPING = f"""
+WITH lit AS ({tp.LITERAL_PROPERTIES_SQL})
+SELECT regexp_replace(source_curie, '^fixp:', '') AS identifier,
+       string_agg(value, '|' ORDER BY value) AS values
+FROM lit WHERE predicate_curie = 'rdfs:comment'
+GROUP BY regexp_replace(source_curie, '^fixp:', '')
+"""
+
+
+def q_relation_mapping(spark, sf_dir):
+    return exports.relation_mapping(
+        tp.relations_raw(spark, sf_dir), "BFO", "0000050", "fixs"
+    )
+
+
+SQL_RELATION_MAPPING = f"""
+WITH relations AS ({tp.RELATIONS_RAW_SQL})
+SELECT identifier, min(target_id) AS target_id
+FROM relations
+WHERE relation_prefix = 'BFO' AND relation_id = '0000050'
+  AND target_prefix = 'fixs'
+GROUP BY identifier
+"""
+
+
+def q_relation_multimapping(spark, sf_dir):
+    return exports.relation_multimapping(
+        tp.relations_raw(spark, sf_dir), "BFO", "0000050", "fixs"
+    )
+
+
+SQL_RELATION_MULTIMAPPING = f"""
+WITH relations AS ({tp.RELATIONS_RAW_SQL})
+SELECT identifier,
+       string_agg(DISTINCT target_id, '|' ORDER BY target_id) AS target_ids
+FROM relations
+WHERE relation_prefix = 'BFO' AND relation_id = '0000050'
+  AND target_prefix = 'fixs'
+GROUP BY identifier
+"""
+
+
+def q_nodes_export(spark, sf_dir):
+    return exports.nodes_export(
+        tp.terms(spark, sf_dir), tp.synonyms(spark, sf_dir)
+    )
+
+
+SQL_NODES_EXPORT = f"""
+WITH terms AS ({tp.TERMS_SQL}),
+syn AS ({tp.SYNONYMS_SQL}),
+agg AS (
+  SELECT prefix, identifier,
+         string_agg(text, ';' ORDER BY text) AS synonyms
+  FROM syn GROUP BY prefix, identifier
+)
+SELECT concat(t.prefix, ':', t.identifier) AS curie,
+       t.name,
+       coalesce(a.synonyms, '') AS synonyms,
+       CASE WHEN t.is_obsolete THEN 'true' ELSE 'false' END AS deprecated
+FROM terms t LEFT JOIN agg a
+  ON t.prefix = a.prefix AND t.identifier = a.identifier
+"""
+
+
+def q_grounder_index(spark, sf_dir):
+    return exports.grounder_index(tp.synonyms(spark, sf_dir))
+
+
+SQL_GROUNDER_INDEX = f"""
+WITH syn AS ({tp.SYNONYMS_SQL})
+SELECT lower(text) AS text_folded,
+       string_agg(DISTINCT concat(prefix, ':', identifier), '|'
+                  ORDER BY concat(prefix, ':', identifier)) AS candidates
+FROM syn GROUP BY lower(text)
+"""
+
+
+def q_top_revenue_parts(spark, sf_dir):
+    """Top-3 parts by revenue per brand — window top-k over a join
+    (the engine's get_best_match pattern at analytics scale)."""
+    li = tp.load(spark, sf_dir, "lineitem")
+    p = tp.load(spark, sf_dir, "part")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)")
+                   - F.col("l_discount").cast("decimal(18,2)"))
+            ).alias("rev_dec")
+        )
+    )
+    joined = rev.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        rev.l_partkey == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("rev_dec"), F.asc("l_partkey")
+    )
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "p_brand",
+            F.col("l_partkey").alias("partkey"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+SQL_TOP_REVENUE_PARTS = """
+WITH rev AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+           AS rev_dec
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT p.p_brand, r.l_partkey AS partkey,
+         CAST(r.rev_dec AS DOUBLE) AS revenue,
+         row_number() OVER (PARTITION BY p.p_brand
+                            ORDER BY r.rev_dec DESC, r.l_partkey) AS rnk
+  FROM rev r JOIN part p ON r.l_partkey = p.p_partkey
+)
+SELECT p_brand, partkey, revenue, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_dictionary_skip_obsolete(spark, sf_dir):
+    """skip_obsolete anti-join (api/names.py:332-341): dictionary rows
+    whose owning term is obsolete are removed."""
+    syn = tp.synonyms(spark, sf_dir)
+    obs = exports.obsoletes(tp.terms(spark, sf_dir))
+    return syn.join(obs, on=["prefix", "identifier"], how="left_anti").select(
+        "prefix", "identifier", "text", "predicate"
+    )
+
+
+SQL_DICTIONARY_SKIP_OBSOLETE = f"""
+WITH syn AS ({tp.SYNONYMS_SQL}),
+terms AS ({tp.TERMS_SQL})
+SELECT s.prefix, s.identifier, s.text, s.predicate
+FROM syn s
+WHERE NOT EXISTS (
+  SELECT 1 FROM terms t
+  WHERE t.prefix = s.prefix AND t.identifier = s.identifier
+    AND t.is_obsolete
+)
+"""
+
+
+def q_species_remap(spark, sf_dir):
+    """Tiny broadcast-map join (SPECIES_REMAPPING, constants.py:55-57)."""
+    sp = exports.species(tp.relations_raw(spark, sf_dir))
+    remap = spark.createDataFrame(
+        [("1", "9606"), ("2", "10090")], "taxonomy_id string, remapped string"
+    )
+    return (
+        sp.join(F.broadcast(remap), on="taxonomy_id", how="left")
+        .select(
+            "prefix", "identifier",
+            F.coalesce("remapped", "taxonomy_id").alias("taxonomy_id"),
+        )
+    )
+
+
+SQL_SPECIES_REMAP = f"""
+WITH relations AS ({tp.RELATIONS_RAW_SQL}),
+sp AS (
+  SELECT DISTINCT prefix, identifier, target_id AS taxonomy_id
+  FROM relations
+  WHERE relation_prefix = 'RO' AND relation_id = '0002162'
+    AND target_prefix = 'ncbitaxon'
+)
+SELECT prefix, identifier,
+       CASE taxonomy_id WHEN '1' THEN '9606' WHEN '2' THEN '10090'
+            ELSE taxonomy_id END AS taxonomy_id
+FROM sp
+"""
+
+
 # ----- non-SQL-expressible ops (driver records rows-only checks) -----------
 
 def q_minhash_near_duplicates(spark, sf_dir):
@@ -551,6 +840,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "pricing_summary": q_pricing_summary,
     "relation_counters": q_relation_counters,
+    "descendants": q_descendants,
+    "has_ancestor": q_has_ancestor,
+    "subhierarchy": q_subhierarchy,
+    "name_id_mapping": q_name_id_mapping,
+    "properties_combined": q_properties_combined,
+    "filtered_properties_mapping": q_filtered_properties_mapping,
+    "filtered_properties_multimapping": q_filtered_properties_multimapping,
+    "relation_mapping": q_relation_mapping,
+    "relation_multimapping": q_relation_multimapping,
+    "nodes_export": q_nodes_export,
+    "grounder_index": q_grounder_index,
+    "top_revenue_parts": q_top_revenue_parts,
+    "dictionary_skip_obsolete": q_dictionary_skip_obsolete,
+    "species_remap": q_species_remap,
     # rows-only (non-SQL-expressible: hash-family/UDF internals)
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash": q_simhash,
@@ -583,4 +886,18 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "relation_counters": SQL_RELATION_COUNTERS,
+    "descendants": SQL_DESCENDANTS,
+    "has_ancestor": SQL_HAS_ANCESTOR,
+    "subhierarchy": SQL_SUBHIERARCHY,
+    "name_id_mapping": SQL_NAME_ID_MAPPING,
+    "properties_combined": SQL_PROPERTIES_COMBINED,
+    "filtered_properties_mapping": SQL_FILTERED_PROPERTIES_MAPPING,
+    "filtered_properties_multimapping": SQL_FILTERED_PROPERTIES_MULTIMAPPING,
+    "relation_mapping": SQL_RELATION_MAPPING,
+    "relation_multimapping": SQL_RELATION_MULTIMAPPING,
+    "nodes_export": SQL_NODES_EXPORT,
+    "grounder_index": SQL_GROUNDER_INDEX,
+    "top_revenue_parts": SQL_TOP_REVENUE_PARTS,
+    "dictionary_skip_obsolete": SQL_DICTIONARY_SKIP_OBSOLETE,
+    "species_remap": SQL_SPECIES_REMAP,
 }

@@ -206,6 +206,68 @@ def parents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- properties -----
+# literal properties from part (definition-source/value pairs,
+# struct.py:1720-1723); object properties from supplier→nation
+# (struct.py:1716-1718).
+
+LITERAL_PROPERTIES_SQL = """
+SELECT concat('fixp:', lpad(CAST(p_partkey AS VARCHAR), 7, '0')) AS source_curie,
+       'rdfs:comment' AS predicate_curie,
+       p_type AS value,
+       'xsd:string' AS datatype,
+       CAST(NULL AS VARCHAR) AS language
+FROM part
+UNION ALL
+SELECT concat('fixp:', lpad(CAST(p_partkey AS VARCHAR), 7, '0')),
+       'pyobo:size', CAST(p_size AS VARCHAR), 'xsd:integer', NULL
+FROM part WHERE p_size > 20
+"""
+
+
+def literal_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    src = F.concat(
+        F.lit("fixp:"), F.lpad(F.col("p_partkey").cast("string"), 7, "0")
+    ).alias("source_curie")
+    a = p.select(
+        src,
+        F.lit("rdfs:comment").alias("predicate_curie"),
+        F.col("p_type").alias("value"),
+        F.lit("xsd:string").alias("datatype"),
+        F.lit(None).cast("string").alias("language"),
+    )
+    b = p.where(F.col("p_size") > 20).select(
+        src,
+        F.lit("pyobo:size").alias("predicate_curie"),
+        F.col("p_size").cast("string").alias("value"),
+        F.lit("xsd:integer").alias("datatype"),
+        F.lit(None).cast("string").alias("language"),
+    )
+    return a.unionByName(b)
+
+
+OBJECT_PROPERTIES_SQL = """
+SELECT concat('fixs:', lpad(CAST(s_suppkey AS VARCHAR), 7, '0')) AS source_curie,
+       'pyobo:located_in' AS predicate_curie,
+       concat('fixn:', lpad(CAST(s_nationkey AS VARCHAR), 7, '0')) AS target_curie
+FROM supplier
+"""
+
+
+def object_properties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        F.concat(
+            F.lit("fixs:"), F.lpad(F.col("s_suppkey").cast("string"), 7, "0")
+        ).alias("source_curie"),
+        F.lit("pyobo:located_in").alias("predicate_curie"),
+        F.concat(
+            F.lit("fixn:"), F.lpad(F.col("s_nationkey").cast("string"), 7, "0")
+        ).alias("target_curie"),
+    )
+
+
 # -------------------------------------- equivalence edges (for CC) ---------
 # Undirected curie graph: customer—nation (from xrefs) plus nation—region
 # bridges. Connected components == regions; used to validate the
