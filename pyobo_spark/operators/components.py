@@ -73,6 +73,18 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     )
     e = _canonical_undirected(edges).localCheckpoint(eager=True)
 
+    def _fingerprint(df: DataFrame) -> tuple[int, int]:
+        """Cheap set fingerprint: (count, XOR of row hashes). One job
+        instead of two exceptAll scans per round; XOR is overflow-free
+        (ANSI-safe) and exact for sets (each round's edges are distinct);
+        collision on a CHANGED set is ~2^-64 per round."""
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev_fp = _fingerprint(e)
     for _ in range(max_iter):
         e2 = _large_star(e)
         e2 = e2.unionByName(
@@ -82,13 +94,11 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         e3 = e3.unionByName(
             e3.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct().localCheckpoint(eager=True)
-        # converged when every node's min-neighbor is a fixpoint:
-        # all edges point directly at the component minimum, i.e. the
-        # star graph is stable under another large-star round.
-        if e3.exceptAll(e).isEmpty() and e.exceptAll(e3).isEmpty():
-            e = e3
-            break
+        fp = _fingerprint(e3)
         e = e3
+        if fp == prev_fp:
+            break
+        prev_fp = fp
 
     # after convergence the symmetric edge set is a union of stars:
     # component(u) = min(u, min(neighbors(u)))

@@ -751,6 +751,32 @@ FROM sp
 """
 
 
+def q_literal_mappings_subset(spark, sf_dir):
+    """get_literal_mappings_subset (api/combine.py:19-39): semi-join the
+    dictionary against the descendant set of a given ancestor."""
+    syn = tp.synonyms(spark, sf_dir)
+    desc = hierarchy.descendants(tp.parents(spark, sf_dir)).where(
+        F.col("identifier") == "0000001"
+    )
+    members = desc.select(F.col("descendant").alias("identifier"))
+    return syn.join(members, on="identifier", how="left_semi").select(
+        "prefix", "identifier", "text", "predicate"
+    )
+
+
+SQL_LITERAL_MAPPINGS_SUBSET = f"""
+WITH RECURSIVE parents AS ({tp.PARENTS_SQL}),
+syn AS ({tp.SYNONYMS_SQL}),
+des(node) AS (
+  SELECT child FROM parents WHERE parent = '0000001'
+  UNION
+  SELECT p.child FROM des d JOIN parents p ON p.parent = d.node
+)
+SELECT prefix, identifier, text, predicate FROM syn
+WHERE identifier IN (SELECT node FROM des)
+"""
+
+
 # ----- non-SQL-expressible ops (driver records rows-only checks) -----------
 
 def q_minhash_near_duplicates(spark, sf_dir):
@@ -854,6 +880,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_revenue_parts": q_top_revenue_parts,
     "dictionary_skip_obsolete": q_dictionary_skip_obsolete,
     "species_remap": q_species_remap,
+    "literal_mappings_subset": q_literal_mappings_subset,
     # rows-only (non-SQL-expressible: hash-family/UDF internals)
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash": q_simhash,
@@ -900,4 +927,5 @@ ORACLES: dict[str, str] = {
     "top_revenue_parts": SQL_TOP_REVENUE_PARTS,
     "dictionary_skip_obsolete": SQL_DICTIONARY_SKIP_OBSOLETE,
     "species_remap": SQL_SPECIES_REMAP,
+    "literal_mappings_subset": SQL_LITERAL_MAPPINGS_SUBSET,
 }
