@@ -777,6 +777,66 @@ WHERE identifier IN (SELECT node FROM des)
 """
 
 
+def q_events_windowed(spark, sf_dir):
+    from .operators import events as ev
+
+    return ev.tumbling_window_counts(tp.load(spark, sf_dir, "events"))
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    from .operators import events as ev
+
+    out = ev.sessionize(tp.load(spark, sf_dir, "events"), gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tagged AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM ordered
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM tagged GROUP BY user_id, session_seq
+"""
+
+
+def q_salted_counts(spark, sf_dir):
+    from .operators import events as ev
+
+    li = tp.load(spark, sf_dir, "lineitem")
+    return ev.salted_counts(li, "l_suppkey", salt_source="l_orderkey")
+
+
+SQL_SALTED_COUNTS = """
+SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY l_suppkey
+"""
+
+
 # ----- non-SQL-expressible ops (driver records rows-only checks) -----------
 
 def q_minhash_near_duplicates(spark, sf_dir):
@@ -881,6 +941,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dictionary_skip_obsolete": q_dictionary_skip_obsolete,
     "species_remap": q_species_remap,
     "literal_mappings_subset": q_literal_mappings_subset,
+    "events_windowed": q_events_windowed,
+    "events_sessionize": q_events_sessionize,
+    "salted_counts": q_salted_counts,
     # rows-only (non-SQL-expressible: hash-family/UDF internals)
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash": q_simhash,
@@ -928,4 +991,7 @@ ORACLES: dict[str, str] = {
     "dictionary_skip_obsolete": SQL_DICTIONARY_SKIP_OBSOLETE,
     "species_remap": SQL_SPECIES_REMAP,
     "literal_mappings_subset": SQL_LITERAL_MAPPINGS_SUBSET,
+    "events_windowed": SQL_EVENTS_WINDOWED,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "salted_counts": SQL_SALTED_COUNTS,
 }

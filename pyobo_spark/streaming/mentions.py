@@ -56,3 +56,40 @@ def stream_mention_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_windowed_event_counts(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    checkpoint_dir: str,
+    output_dir: str,
+    window_minutes: int = 60,
+    watermark_minutes: int = 120,
+) -> None:
+    """Event-time windowed aggregation with a watermark: late events
+    beyond the watermark are dropped; windows emit (append mode) once the
+    watermark passes their end. availableNow → processes the backlog and
+    terminates; the checkpoint carries watermark + window state across
+    runs, so a later invocation continues with the same late-data
+    semantics (the engine's stateful-streaming path)."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    agg = (
+        stream.withWatermark("ts", f"{watermark_minutes} minutes")
+        .groupBy(F.window("ts", f"{window_minutes} minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -48,3 +48,49 @@ def test_streaming_incremental_resume(spark, tmp_path):
     }
     # doc 1 appears exactly once → no reprocessing happened
     assert second.where("doc_id = '1' and curie = 'fixo:0000001'").count() == 1
+
+
+def test_streaming_windowed_watermark(spark, tmp_path):
+    """Windowed agg with watermark: closed windows emit in append mode;
+    a late event behind the watermark is dropped on the next run."""
+    import datetime as dt
+
+    from pyobo_spark.streaming.mentions import stream_windowed_event_counts
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    in_dir = str(tmp_path / "ein")
+    out_dir = str(tmp_path / "eout")
+    ckpt = str(tmp_path / "eckpt")
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (t0, "click"),
+        (t0 + dt.timedelta(minutes=5), "click"),
+        # an event far ahead advances the watermark past hour-0's window
+        (t0 + dt.timedelta(hours=10), "view"),
+    ]
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(in_dir)
+    stream_windowed_event_counts(spark, in_dir, schema, ckpt, out_dir)
+
+    got = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got.get(("2024-01-01 00:00:00", "click")) == 2  # window closed
+    assert ("2024-01-01 10:00:00", "view") not in got  # still open
+
+    # late event behind the watermark → dropped on the incremental run
+    spark.createDataFrame([(t0, "click")], schema).write.mode("append").parquet(
+        in_dir
+    )
+    stream_windowed_event_counts(spark, in_dir, schema, ckpt, out_dir)
+    after = {
+        (str(r["window_start"]), r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert after.get(("2024-01-01 00:00:00", "click")) == 2  # unchanged
