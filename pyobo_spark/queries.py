@@ -837,6 +837,102 @@ SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY l_suppkey
 """
 
 
+def q_normalize_curies(spark, sf_dir):
+    """The CURIE normalization kernel (identifier_utils/api.py:150-269)
+    over derived raw strings covering the error taxonomy: valid CURIE
+    with banana, prefix synonym, URI form, unregistered prefix, EC
+    trailing-dash strip, blocklist."""
+    from .normalize.curie import normalize_curies
+
+    p = tp.load(spark, sf_dir, "part")
+    m6 = F.col("p_partkey") % 6
+    raw = p.select(
+        F.when(m6 == 0, F.concat(F.lit("CHEBI:CHEBI:"), F.col("p_partkey")))
+        .when(m6 == 1, F.concat(F.lit("chebiid:"), F.col("p_partkey")))
+        .when(
+            m6 == 2,
+            F.concat(
+                F.lit("http://purl.obolibrary.org/obo/NCBITaxon_"),
+                F.col("p_partkey"),
+            ),
+        )
+        .when(m6 == 3, F.concat(F.lit("bogus:"), F.col("p_partkey")))
+        .when(m6 == 4, F.concat(F.lit("ec:1.2.3."), F.lit("-")))
+        .otherwise(F.lit("-"))
+        .alias("raw")
+    )
+    return normalize_curies(raw, "raw")
+
+
+SQL_NORMALIZE_CURIES = """
+WITH raw AS (
+  SELECT p_partkey % 6 AS m6,
+         CASE p_partkey % 6
+           WHEN 0 THEN concat('CHEBI:CHEBI:', CAST(p_partkey AS VARCHAR))
+           WHEN 1 THEN concat('chebiid:', CAST(p_partkey AS VARCHAR))
+           WHEN 2 THEN concat('http://purl.obolibrary.org/obo/NCBITaxon_',
+                              CAST(p_partkey AS VARCHAR))
+           WHEN 3 THEN concat('bogus:', CAST(p_partkey AS VARCHAR))
+           WHEN 4 THEN 'ec:1.2.3.-'
+           ELSE '-' END AS raw,
+         CAST(p_partkey AS VARCHAR) AS k
+  FROM part
+)
+SELECT raw,
+       CASE m6 WHEN 0 THEN 'chebi' WHEN 1 THEN 'chebi' WHEN 2 THEN 'ncbitaxon'
+               WHEN 4 THEN 'eccode' ELSE NULL END AS prefix,
+       CASE m6 WHEN 0 THEN k WHEN 1 THEN k WHEN 2 THEN k
+               WHEN 4 THEN '1.2.3' ELSE NULL END AS identifier,
+       CASE m6 WHEN 3 THEN 'unregistered_prefix' WHEN 5 THEN 'blocklist'
+               ELSE 'ok' END AS parse_status
+FROM raw
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact, canonical a<b) —
+    the embedding leg of the dedup suite."""
+    emb = tp.load(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(c), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (norm("va") * norm("vb")))
+        .where(F.col("cosine") >= 0.8)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])),
+             (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(a.v, x -> x * x)), (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(b.v, x -> x * x)), (acc, x) -> acc + x)))
+         AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cosine, 4) AS cosine FROM pairs WHERE cosine >= 0.8
+"""
+
+
 # ----- non-SQL-expressible ops (driver records rows-only checks) -----------
 
 def q_minhash_near_duplicates(spark, sf_dir):
@@ -944,6 +1040,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
     "salted_counts": q_salted_counts,
+    "normalize_curies": q_normalize_curies,
+    "embedding_near_dup": q_embedding_near_dup,
     # rows-only (non-SQL-expressible: hash-family/UDF internals)
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash": q_simhash,
@@ -994,4 +1092,6 @@ ORACLES: dict[str, str] = {
     "events_windowed": SQL_EVENTS_WINDOWED,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "salted_counts": SQL_SALTED_COUNTS,
+    "normalize_curies": SQL_NORMALIZE_CURIES,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
 }

@@ -1,0 +1,108 @@
+"""Round-trip: fixture tables → OBO text (write_obo semantics) →
+parse_obo_text → same tables. Mirrors the reference's serialization
+round-trip family (tests/test_struct/test_obo/)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyobo_spark.fixtures import generator
+from pyobo_spark.operators import obo_writer
+from pyobo_spark.sources.obo_reader import parse_obo_text
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return generator.to_spark(spark, generator.generate(n_terms=60, n_docs=1))
+
+
+def test_roundtrip(spark, tables):
+    stanzas = obo_writer.obo_stanzas(
+        tables["terms"], tables["synonyms"], tables["xrefs"],
+        tables["relations"], tables["parents"], tables["alts"],
+        prefix="fixo",
+    )
+    doc = obo_writer.obo_document(stanzas, "fixo", "7")
+    po = parse_obo_text(doc)
+    assert po.prefix == "fixo"
+
+    # terms: names match
+    orig_names = {
+        (r["identifier"], r["name"])
+        for r in tables["terms"].where("prefix = 'fixo'").collect()
+    }
+    parsed_names = {(t["identifier"], t["name"]) for t in po.terms}
+    assert parsed_names == orig_names
+
+    # obsoletes preserved
+    orig_obs = {
+        r["identifier"]
+        for r in tables["terms"].where("prefix = 'fixo' and is_obsolete").collect()
+    }
+    assert {t["identifier"] for t in po.terms if t["is_obsolete"]} == orig_obs
+
+    # definitions: parsed defs equal the CLEANED originals (the reader
+    # applies the reference's whitespace collapse, struct.py:1635-1638)
+    from pyobo_spark.operators.exports import definitions
+
+    orig_defs = {
+        (r["identifier"], r["definition"])
+        for r in definitions(tables["terms"].where("prefix = 'fixo'")).collect()
+    }
+    parsed_defs = {
+        (t["identifier"], t["definition"]) for t in po.terms if t["definition"]
+    }
+    assert parsed_defs == orig_defs
+
+    # synonyms: text + predicate survive
+    orig_syn = {
+        (r["identifier"], r["text"], r["predicate"])
+        for r in tables["synonyms"].collect()
+    }
+    parsed_syn = {
+        (s["identifier"], s["text"], s["predicate"]) for s in po.synonyms
+    }
+    assert parsed_syn == orig_syn
+
+    # xrefs (hasDbXref rows), is_a edges, alt ids
+    orig_xr = {
+        (r["identifier"], r["target_prefix"], r["target_id"])
+        for r in tables["xrefs"]
+        .where("prefix = 'fixo' and predicate = 'oboInOwl:hasDbXref'")
+        .collect()
+    }
+    assert {
+        (x["identifier"], x["target_prefix"], x["target_id"]) for x in po.xrefs
+    } == orig_xr
+    assert {(p["child"], p["parent"]) for p in po.parents} == {
+        (r["child"], r["parent"]) for r in tables["parents"].collect()
+    }
+    assert {(a["identifier"], a["alt_id"]) for a in po.alts} == {
+        (r["identifier"], r["alt_id"]) for r in tables["alts"].collect()
+    }
+
+    # relations survive with predicates
+    orig_rel = {
+        (r["identifier"], r["relation_prefix"], r["relation_id"], r["target_id"])
+        for r in tables["relations"].where("prefix = 'fixo'").collect()
+    }
+    parsed_rel = {
+        (r["identifier"], r["relation_prefix"], r["relation_id"], r["target_id"])
+        for r in po.relations
+    }
+    assert parsed_rel == orig_rel
+
+
+def test_deterministic_output(spark, tables):
+    """Same input → byte-identical OBO document (the reference's sorted
+    deterministic-output contract, utils/io.py:134)."""
+    mk = lambda: obo_writer.obo_document(  # noqa: E731
+        obo_writer.obo_stanzas(
+            tables["terms"], tables["synonyms"], tables["xrefs"],
+            tables["relations"], tables["parents"], tables["alts"],
+            prefix="fixo",
+        ),
+        "fixo",
+    )
+    assert mk() == mk()
