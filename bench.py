@@ -39,6 +39,12 @@ HEADLINE = [
     "ann_cosine_topk",          # brute-force cosine top-k
     "ann_cosine_lsh",           # multi-table LSH ANN
     "pricing_summary",          # scan-heavy groupBy agg
+    "descendants",              # reverse BFS closure
+    "hierarchy_edges",          # predicate-union edge set
+    "events_windowed",          # event-time tumbling windows
+    "events_sessionize",        # session windows (lag + running sum)
+    "salted_counts",            # two-phase skew aggregation
+    "nodes_export",             # Neo4j nodes artifact (groupBy collect)
 ]
 
 

@@ -20,6 +20,49 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def hierarchy_edges(
+    parents: DataFrame,
+    relations: DataFrame,
+    prefix: str,
+    include: tuple[tuple[str, str], ...] = (("BFO", "0000050"),),
+    include_reversed: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
+    """get_hierarchy's edge set (api/hierarchy.py:43-125): is_a edges ∪
+    selected relation predicates (child→parent direction) ∪ REVERSED
+    predicates (e.g. has_part reversed to part-of direction, has_member
+    reversed to member_of). Returns (child_curie, parent_curie,
+    predicate_curie)."""
+    isa = parents.select(
+        F.concat(F.lit(prefix + ":"), F.col("child")).alias("child_curie"),
+        F.concat(F.lit(prefix + ":"), F.col("parent")).alias("parent_curie"),
+        F.lit("rdfs:subClassOf").alias("predicate_curie"),
+    )
+    out = isa
+    for rp, ri in include:
+        fwd = relations.where(
+            (F.col("relation_prefix") == rp) & (F.col("relation_id") == ri)
+        ).select(
+            F.concat("prefix", F.lit(":"), "identifier").alias("child_curie"),
+            F.concat("target_prefix", F.lit(":"), "target_id").alias(
+                "parent_curie"
+            ),
+            F.lit(f"{rp}:{ri}").alias("predicate_curie"),
+        )
+        out = out.unionByName(fwd)
+    for rp, ri in include_reversed:
+        rev = relations.where(
+            (F.col("relation_prefix") == rp) & (F.col("relation_id") == ri)
+        ).select(
+            F.concat("target_prefix", F.lit(":"), "target_id").alias(
+                "child_curie"
+            ),
+            F.concat("prefix", F.lit(":"), "identifier").alias("parent_curie"),
+            F.lit(f"{rp}:{ri}^-1").alias("predicate_curie"),
+        )
+        out = out.unionByName(rev)
+    return out.distinct()
+
+
 def ancestors(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     """Full transitive closure upward: (identifier, ancestor) for every
     node with ≥1 edge. BFS over (child, parent) edges.

@@ -1,0 +1,84 @@
+"""Multi-ontology database build — the reference's full-corpus ETL
+(`pyobo database build`, cli/database.py:86-126; iter_helper_helper
+failure isolation getters.py:359-455; db_output_helper sink
+getters.py:477-571) as a Spark job:
+
+  per-prefix source callables → per-source try/except (one bad source
+  never kills the build; its failure is recorded in the build report,
+  like the reference's caught exception classes) → UNION ALL view →
+  one write per artifact with per-prefix counters, a 10-row sample and
+  a metadata JSON (the Counter/sample/metadata trio).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import traceback
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def build_artifact(
+    spark: SparkSession,
+    sources: dict[str, Callable[[], DataFrame]],
+    out_dir: str,
+    artifact: str,
+    strict: bool = False,
+) -> dict:
+    """sources: prefix → callable returning that prefix's slice of the
+    artifact. Returns the build report (also written as metadata JSON).
+
+    strict=True re-raises source failures (the reference's strict mode
+    for non-deprecated prefixes, getters.py:366-455)."""
+    frames: list[DataFrame] = []
+    failures: dict[str, str] = {}
+    for prefix, fn in sorted(sources.items()):
+        try:
+            frames.append(fn())
+        except Exception as e:  # noqa: BLE001 — per-source isolation
+            if strict:
+                raise
+            failures[prefix] = f"{type(e).__name__}: {e}"
+            traceback.format_exc()  # formatted for the report only
+    if not frames:
+        raise ValueError(f"every source failed for artifact {artifact!r}")
+
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+
+    path = Path(out_dir) / artifact
+    data_path = str(path / "data")
+    t0 = time.time()
+    # global sort = the reference's deterministic-output contract
+    # (utils/io.py:134); sort keys are all columns
+    df.na.drop(how="all").orderBy(*df.columns).write.mode("overwrite").parquet(
+        data_path
+    )
+    out = spark.read.parquet(data_path)
+    n_rows = out.count()
+    counters = {
+        r[df.columns[0]]: r["n"]
+        for r in out.groupBy(df.columns[0])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(df.columns[0])
+        .collect()
+    }
+    sample = [r.asDict(recursive=True) for r in out.limit(10).collect()]
+    report = {
+        "artifact": artifact,
+        "n_rows": n_rows,
+        "n_prefixes_ok": len(frames),
+        "failures": failures,
+        "counters": counters,
+        "sample": sample,
+        "wall_sec": round(time.time() - t0, 3),
+        "built_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    (path / "_METADATA.json").parent.mkdir(parents=True, exist_ok=True)
+    (path / "_METADATA.json").write_text(json.dumps(report, default=str, indent=1))
+    return report

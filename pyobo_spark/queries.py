@@ -933,6 +933,36 @@ SELECT id_a, id_b, round(cosine, 4) AS cosine FROM pairs WHERE cosine >= 0.8
 """
 
 
+def q_hierarchy_edges(spark, sf_dir):
+    return hierarchy.hierarchy_edges(
+        tp.parents(spark, sf_dir),
+        tp.relations_raw(spark, sf_dir),
+        prefix="fixp",
+        include=(("BFO", "0000050"),),
+        include_reversed=(("RO", "0002162"),),
+    )
+
+
+SQL_HIERARCHY_EDGES = f"""
+WITH parents AS ({tp.PARENTS_SQL}),
+relations AS ({tp.RELATIONS_RAW_SQL})
+SELECT DISTINCT * FROM (
+  SELECT concat('fixp:', child) AS child_curie,
+         concat('fixp:', parent) AS parent_curie,
+         'rdfs:subClassOf' AS predicate_curie
+  FROM parents
+  UNION ALL
+  SELECT concat(prefix, ':', identifier),
+         concat(target_prefix, ':', target_id), 'BFO:0000050'
+  FROM relations WHERE relation_prefix = 'BFO' AND relation_id = '0000050'
+  UNION ALL
+  SELECT concat(target_prefix, ':', target_id),
+         concat(prefix, ':', identifier), 'RO:0002162^-1'
+  FROM relations WHERE relation_prefix = 'RO' AND relation_id = '0002162'
+)
+"""
+
+
 # ----- non-SQL-expressible ops (driver records rows-only checks) -----------
 
 def q_minhash_near_duplicates(spark, sf_dir):
@@ -1042,6 +1072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_counts": q_salted_counts,
     "normalize_curies": q_normalize_curies,
     "embedding_near_dup": q_embedding_near_dup,
+    "hierarchy_edges": q_hierarchy_edges,
     # rows-only (non-SQL-expressible: hash-family/UDF internals)
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash": q_simhash,
@@ -1094,4 +1125,5 @@ ORACLES: dict[str, str] = {
     "salted_counts": SQL_SALTED_COUNTS,
     "normalize_curies": SQL_NORMALIZE_CURIES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "hierarchy_edges": SQL_HIERARCHY_EDGES,
 }

@@ -251,6 +251,39 @@ def parse_obo_text(text: str) -> ParsedOntology:
     return po
 
 
+def split_stanza_chunks(text: str, n_chunks: int) -> list[str]:
+    """Split one OBO document into ≤ n_chunks parseable sub-documents at
+    stanza boundaries, each carrying the full header (so treat-xrefs-as-*
+    macros apply in every chunk). This is how a multi-GB OBO file
+    distributes: the header is tiny, stanzas are independent."""
+    idx = text.find("\n[")
+    if idx < 0:
+        return [text]
+    header = text[:idx + 1]
+    body = text[idx + 1:]
+    stanzas = ["[" + s for s in body.split("\n[") if s.strip()]
+    # fix first element (already starts with '[')
+    if stanzas and body.startswith("["):
+        stanzas[0] = stanzas[0][1:] if stanzas[0].startswith("[[") else stanzas[0]
+    per = max(1, (len(stanzas) + n_chunks - 1) // n_chunks)
+    return [
+        header + "\n".join(stanzas[i : i + per])
+        for i in range(0, len(stanzas), per)
+    ]
+
+
+def parse_obo_text_distributed(
+    spark: SparkSession, text: str, n_chunks: int = 32
+):
+    """Parse one large OBO document with stanza-level parallelism:
+    driver splits at stanza boundaries (cheap string scan), executors
+    parse chunks via the Arrow mapInPandas parser."""
+    chunks = split_stanza_chunks(text, n_chunks)
+    return parse_obo_files(
+        spark, [(f"chunk{i}", c) for i, c in enumerate(chunks)]
+    )
+
+
 def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
     """Parse many (name, obo_text) docs in parallel via mapInPandas and
     return the union'd long tables as a dict of DataFrames."""

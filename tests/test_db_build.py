@@ -1,0 +1,68 @@
+"""Multi-prefix database build: failure isolation, counters, sample,
+sorted deterministic output."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyobo_spark.pipeline.db_build import build_artifact
+
+
+def _names(spark, prefix, n):
+    return spark.createDataFrame(
+        [(prefix, f"{i:07d}", f"name {i}") for i in range(1, n + 1)],
+        "prefix string, identifier string, name string",
+    )
+
+
+def test_failure_isolation_and_counters(spark, tmp_path):
+    def boom():
+        raise RuntimeError("download failed")
+
+    report = build_artifact(
+        spark,
+        {
+            "aaa": lambda: _names(spark, "aaa", 5),
+            "bbb": lambda: _names(spark, "bbb", 3),
+            "bad": boom,
+        },
+        str(tmp_path),
+        "names",
+    )
+    assert report["n_rows"] == 8
+    assert report["counters"] == {"aaa": 5, "bbb": 3}
+    assert "bad" in report["failures"]
+    assert "RuntimeError" in report["failures"]["bad"]
+    assert len(report["sample"]) == 8  # min(10, n)
+
+    meta = json.loads((tmp_path / "names" / "_METADATA.json").read_text())
+    assert meta["n_prefixes_ok"] == 2
+
+    out = spark.read.parquet(str(tmp_path / "names" / "data"))
+    assert out.count() == 8
+
+
+def test_strict_mode_reraises(spark, tmp_path):
+    def boom():
+        raise RuntimeError("nope")
+
+    with pytest.raises(RuntimeError):
+        build_artifact(
+            spark,
+            {"aaa": lambda: _names(spark, "aaa", 2), "bad": boom},
+            str(tmp_path),
+            "names2",
+            strict=True,
+        )
+
+
+def test_all_failed_raises(spark, tmp_path):
+    with pytest.raises(ValueError):
+        build_artifact(
+            spark,
+            {"bad": lambda: (_ for _ in ()).throw(RuntimeError("x"))},
+            str(tmp_path),
+            "names3",
+        )

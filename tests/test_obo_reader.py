@@ -81,6 +81,34 @@ def test_hierarchy_alts_relations_properties():
     assert po.typedefs[0]["name"] == "part of"
 
 
+def test_parse_obo_text_distributed(spark):
+    """Chunked parallel parse of one document == whole-document parse,
+    including header macros applied in every chunk."""
+    from pyobo_spark.sources.obo_reader import (
+        parse_obo_text_distributed,
+        split_stanza_chunks,
+    )
+
+    # many-term doc to force multiple chunks
+    stanzas = "\n\n".join(
+        f"[Term]\nid: CHEBI:{i}\nname: term {i}\nxref: wikidata:Q{i}\n"
+        f"is_a: CHEBI:{i + 1}"
+        for i in range(1, 21)
+    )
+    doc = "format-version: 1.4\nontology: chebi\n" \
+          "treat-xrefs-as-equivalent: wikidata\n\n" + stanzas
+    chunks = split_stanza_chunks(doc, 4)
+    assert len(chunks) == 4
+    assert all(c.startswith("format-version") for c in chunks)
+
+    tables = parse_obo_text_distributed(spark, doc, n_chunks=4)
+    assert tables["terms"].count() == 20
+    assert tables["parents"].count() == 20
+    # macro applied in every chunk: all wikidata xrefs upgraded
+    preds = {r["predicate"] for r in tables["xrefs"].collect()}
+    assert preds == {"owl:equivalentClass"}
+
+
 def test_parse_obo_files_spark(spark):
     from pyobo_spark.sources.obo_reader import parse_obo_files
 
