@@ -963,6 +963,47 @@ SELECT DISTINCT * FROM (
 """
 
 
+def q_clean_corpus(spark, sf_dir):
+    """Training-corpus cleaning composition: quality filter (token stats)
+    + exact-dedup keep-first. The canonical pre-training data pipeline
+    over the documents table."""
+    docs = tp.load(spark, sf_dir, "documents")
+    stats = textstats.token_stats(docs)
+    keep = (
+        docs.select("doc_id", F.md5("text").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    good = stats.where(F.col("quality_score") >= 1.0).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    return good.join(
+        keep, good.doc_id == keep.keep_id, "left_semi"
+    ).select("doc_id", "n_tokens")
+
+
+_CLEAN_STOP = ", ".join(f"'{s}'" for s in textstats.STOPWORDS)
+SQL_CLEAN_CORPUS = f"""
+WITH stats AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         len(list_filter(string_split(text, ' '),
+             x -> list_contains([{_CLEAN_STOP}], x)))
+           / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+),
+keep AS (
+  SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents
+  GROUP BY md5(text)
+)
+SELECT s.doc_id, s.n_tokens
+FROM stats s
+WHERE s.n_tokens BETWEEN 10 AND 400
+  AND s.stop_ratio > 0.01 AND s.stop_ratio < 0.6
+  AND s.doc_id IN (SELECT keep_id FROM keep)
+"""
+
+
 # ----- non-SQL-expressible ops (driver records rows-only checks) -----------
 
 def q_minhash_near_duplicates(spark, sf_dir):
@@ -1073,6 +1114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_curies": q_normalize_curies,
     "embedding_near_dup": q_embedding_near_dup,
     "hierarchy_edges": q_hierarchy_edges,
+    "clean_corpus": q_clean_corpus,
     # rows-only (non-SQL-expressible: hash-family/UDF internals)
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash": q_simhash,
@@ -1126,4 +1168,5 @@ ORACLES: dict[str, str] = {
     "normalize_curies": SQL_NORMALIZE_CURIES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "hierarchy_edges": SQL_HIERARCHY_EDGES,
+    "clean_corpus": SQL_CLEAN_CORPUS,
 }
