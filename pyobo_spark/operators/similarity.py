@@ -157,6 +157,134 @@ def multitable_signatures(
     )
 
 
+def ivf_assignments(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    dim: int = 64,
+    lloyd_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF index build: deterministic seed centroids (the n_centroids
+    lowest vec_ids), optionally refined with Lloyd iterations where the
+    ASSIGN step is a distributed numpy Arrow pass and the UPDATE step is
+    a posexplode + groupBy(centroid, dim) mean — both shuffle-bounded by
+    n_centroids × dim, never by corpus size.
+
+    Returns (assignments DataFrame(vec_id, centroid_id), centroids np.ndarray).
+    """
+    seed_rows = (
+        embeddings.orderBy(id_col).limit(n_centroids).select(vec_col).collect()
+    )
+    centroids = np.asarray([list(r[0]) for r in seed_rows], dtype=np.float64)
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def assign_fn(cents: np.ndarray):
+        def run(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pd.DataFrame({"vec_id": [], "centroid_id": []})
+                    continue
+                mat = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+                mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+                cid = (mat @ cents.T).argmax(axis=1)
+                yield pd.DataFrame(
+                    {"vec_id": pdf[id_col].to_numpy(), "centroid_id": cid}
+                )
+        return run
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("centroid_id", T.IntegerType()),
+        ]
+    )
+    assigns = None
+    for it in range(max(lloyd_iters, 0) + 1):
+        assigns = embeddings.select(id_col, vec_col).mapInPandas(
+            assign_fn(centroids.copy()), schema=out_schema
+        )
+        if it == max(lloyd_iters, 0):
+            break
+        # UPDATE: mean per (centroid, dim) — bounded shuffle
+        joined = embeddings.select(id_col, vec_col).join(assigns, on="vec_id")
+        dims = joined.select(
+            "centroid_id", F.posexplode(vec_col).alias("d", "x")
+        )
+        means = (
+            dims.groupBy("centroid_id", "d")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .collect()
+        )
+        for r in means:
+            centroids[r["centroid_id"], r["d"]] = r["m"]
+        norms = np.linalg.norm(centroids, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        centroids = centroids / norms
+    return assigns, centroids
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF search: probe only the n_probe closest centroid buckets per
+    query, exact cosine within them. The candidate join key is
+    centroid_id (bounded fan-out n_probe × bucket size)."""
+    assigns, centroids = ivf_assignments(
+        embeddings, n_centroids=n_centroids, dim=dim
+    )
+    spark = embeddings.sparkSession
+    qrows = queries.select("vec_id", "embedding").collect()
+    probe_rows = []
+    for r in qrows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        v = v / (np.linalg.norm(v) or 1.0)
+        top = np.argsort(-(centroids @ v))[:n_probe]
+        probe_rows.extend((int(r["vec_id"]), int(c)) for c in top)
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, centroid_id int"
+    )
+    cand = (
+        assigns.join(F.broadcast(probes), on="centroid_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    c = _with_norm(
+        embeddings.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+        ),
+        "cvec",
+    ).withColumnRenamed("_norm", "cnorm")
+    q = _with_norm(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        ),
+        "qvec",
+    ).withColumnRenamed("_norm", "qnorm")
+    dot = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(c, on="neighbor_id").join(F.broadcast(q), on="query_id")
+        .withColumn("cosine", dot / (F.col("qnorm") * F.col("cnorm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
+    )
+
+
 def cosine_topk_lsh(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -1050,6 +1050,12 @@ def q_ann_cosine_lsh(spark, sf_dir):
     return similarity.cosine_topk_lsh(emb, queries, k=5)
 
 
+def q_ann_cosine_ivf(spark, sf_dir):
+    emb = tp.load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return similarity.cosine_topk_ivf(emb, queries, k=5, n_probe=4)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing demo: synthesize binary media from doc text
     bytes, run the (stubbed) feature extractor."""
@@ -1121,6 +1127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "language_id": q_language_id,
     "ann_cosine_lsh": q_ann_cosine_lsh,
+    "ann_cosine_ivf": q_ann_cosine_ivf,
     "media_features": q_media_features,
 }
 

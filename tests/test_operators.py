@@ -54,6 +54,17 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert len(bf_pairs & lsh_pairs) >= len(bf_pairs) * 0.3
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    bf = similarity.cosine_topk_bruteforce(emb, queries, k=3)
+    ivf = similarity.cosine_topk_ivf(emb, queries, k=3, n_centroids=8, n_probe=4)
+    bf_pairs = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    ivf_pairs = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    # probing half the centroids must recover a good share of exact top-k
+    assert len(bf_pairs & ivf_pairs) >= len(bf_pairs) * 0.4
+
+
 def test_descendants_and_subhierarchy(spark):
     edges = spark.createDataFrame(
         [("b", "a"), ("c", "a"), ("d", "b"), ("e", "d")],
