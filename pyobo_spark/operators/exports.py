@@ -311,6 +311,44 @@ def grounder_index(literal_mappings: DataFrame) -> DataFrame:
     )
 
 
+# Provenance prefixes whose xrefs are citations, not mappings
+# (reference: PROVENANCE_PREFIXES, constants.py:118-133; routing at
+# reader.py:719-724).
+PROVENANCE_PREFIXES: tuple[str, ...] = (
+    "pubmed", "pmc", "doi", "arxiv", "biorxiv", "isbn", "wikipedia",
+)
+
+
+def route_provenance_xrefs(
+    xrefs: DataFrame, prov_prefixes: tuple[str, ...] = PROVENANCE_PREFIXES
+) -> tuple[DataFrame, DataFrame]:
+    """Split xrefs into (mappings, provenance): an xref whose target
+    prefix is a citation source is provenance on the term, NOT a mapping
+    (reader.py:719-724). Returns (mapping_xrefs, provenance_xrefs)."""
+    is_prov = F.col("target_prefix").isin(*prov_prefixes)
+    return xrefs.where(~is_prov), xrefs.where(is_prov)
+
+
+def references(terms: DataFrame, prefix: str) -> DataFrame:
+    """iterate_references / get_references (struct.py:1595-1601, api/
+    names.py:166-196): ids of the ontology INCLUDING its obo:{prefix}#
+    auxiliary default references (_in_ontology, struct.py:2111-2118)."""
+    return terms.where(
+        (F.col("prefix") == prefix)
+        | (
+            (F.col("prefix") == "obo")
+            & F.col("identifier").startswith(prefix + "#")
+        )
+    ).select("prefix", "identifier")
+
+
+def alts_grouped(alts: DataFrame) -> DataFrame:
+    """get_id_to_alts (api/alts.py:34-61): primary id → sorted alt list."""
+    return alts.groupBy("prefix", "identifier").agg(
+        F.concat_ws("|", F.sort_array(F.collect_list("alt_id"))).alias("alt_ids")
+    )
+
+
 def summary_counters(df: DataFrame, key: str = "prefix") -> DataFrame:
     """db_output_helper's Counter-by-first-column (getters.py:502-552):
     map-side partial agg + final hash agg."""

@@ -1004,6 +1004,95 @@ WHERE s.n_tokens BETWEEN 10 AND 400
 """
 
 
+def q_references(spark, sf_dir):
+    """iterate_references incl. obo:{prefix}# aux refs — synthesized aux
+    rows (every 11th part gets an obo default reference)."""
+    t = tp.terms(spark, sf_dir)
+    aux = (
+        tp.load(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 11 == 0)
+        .select(
+            F.lit("obo").alias("prefix"),
+            F.concat(F.lit("fixp#aux"), F.col("p_partkey").cast("string")).alias(
+                "identifier"
+            ),
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("string").alias("definition"),
+            F.lit(False).alias("is_obsolete"),
+        )
+    )
+    return exports.references(t.unionByName(aux), "fixp")
+
+
+SQL_REFERENCES = f"""
+WITH terms AS ({tp.TERMS_SQL})
+SELECT prefix, identifier FROM terms WHERE prefix = 'fixp'
+UNION ALL
+SELECT 'obo' AS prefix, concat('fixp#aux', CAST(p_partkey AS VARCHAR))
+FROM part WHERE p_partkey % 11 = 0
+"""
+
+
+def q_alts_grouped(spark, sf_dir):
+    return exports.alts_grouped(tp.alts(spark, sf_dir))
+
+
+SQL_ALTS_GROUPED = f"""
+WITH alts AS ({tp.ALTS_SQL})
+SELECT prefix, identifier,
+       string_agg(alt_id, '|' ORDER BY alt_id) AS alt_ids
+FROM alts GROUP BY prefix, identifier
+"""
+
+
+def q_provenance_routing(spark, sf_dir):
+    """PROVENANCE_PREFIXES routing: xrefs targeting citation prefixes are
+    provenance, not mappings — synthesize pubmed targets for every 5th
+    customer, return the MAPPING side."""
+    xr = tp.xrefs(spark, sf_dir)
+    # rewrite every 5th subject's target to a pubmed citation
+    custkey = F.regexp_replace("subject_id", "^fixc:", "").cast("bigint")
+    rewritten = xr.select(
+        "subject_id",
+        "predicate_id",
+        F.when(
+            custkey % 5 == 0,
+            F.concat(F.lit("pubmed:"), custkey.cast("string")),
+        )
+        .otherwise(F.col("object_id"))
+        .alias("object_id"),
+    )
+    as_rel = rewritten.select(
+        "subject_id",
+        "predicate_id",
+        F.split("object_id", ":")[0].alias("target_prefix"),
+        F.split("object_id", ":")[1].alias("target_id"),
+    )
+    mappings, _prov = exports.route_provenance_xrefs(as_rel)
+    return mappings.select(
+        "subject_id", "predicate_id",
+        F.concat("target_prefix", F.lit(":"), "target_id").alias("object_id"),
+    )
+
+
+SQL_PROVENANCE_ROUTING = f"""
+WITH xrefs AS ({tp.XREFS_SQL}),
+rewritten AS (
+  SELECT subject_id, predicate_id,
+         CASE WHEN CAST(regexp_replace(subject_id, '^fixc:', '') AS BIGINT)
+                   % 5 = 0
+              THEN concat('pubmed:',
+                   CAST(CAST(regexp_replace(subject_id, '^fixc:', '')
+                             AS BIGINT) AS VARCHAR))
+              ELSE object_id END AS object_id
+  FROM xrefs
+)
+SELECT subject_id, predicate_id, object_id FROM rewritten
+WHERE string_split(object_id, ':')[1] NOT IN
+      ('pubmed', 'pmc', 'doi', 'arxiv', 'biorxiv', 'isbn', 'wikipedia')
+"""
+
+
 # ----- non-SQL-expressible ops (driver records rows-only checks) -----------
 
 def q_minhash_near_duplicates(spark, sf_dir):
@@ -1121,6 +1210,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "hierarchy_edges": q_hierarchy_edges,
     "clean_corpus": q_clean_corpus,
+    "references": q_references,
+    "alts_grouped": q_alts_grouped,
+    "provenance_routing": q_provenance_routing,
     # rows-only (non-SQL-expressible: hash-family/UDF internals)
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash": q_simhash,
@@ -1176,4 +1268,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "hierarchy_edges": SQL_HIERARCHY_EDGES,
     "clean_corpus": SQL_CLEAN_CORPUS,
+    "references": SQL_REFERENCES,
+    "alts_grouped": SQL_ALTS_GROUPED,
+    "provenance_routing": SQL_PROVENANCE_ROUTING,
 }
