@@ -45,6 +45,8 @@ HEADLINE = [
     "events_sessionize",        # session windows (lag + running sum)
     "salted_counts",            # two-phase skew aggregation
     "nodes_export",             # Neo4j nodes artifact (groupBy collect)
+    "span_pipeline",            # interleaved spans: posexplode + matcher
+    "clean_corpus",             # quality filter + dedup keep-first
 ]
 
 

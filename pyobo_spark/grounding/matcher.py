@@ -89,6 +89,23 @@ def match_text_spans(
     already folded (e.g. lower() applied JVM-side upstream, ASCII corpus);
     halves the Python cost of the hot loop."""
 
+    return _run_matcher(text_spans, automaton_broadcast, fold, best_per_site=False)
+
+
+def match_text_spans_best(
+    text_spans: DataFrame, automaton_broadcast, fold: bool = True
+) -> DataFrame:
+    """match_text_spans + best-match resolved INSIDE the UDF: every
+    candidate for a given (doc, span, token_start) site is produced from
+    the same input row, so top-1 selection needs no shuffle at all —
+    the window variant (best_match) exists for cross-row generality, but
+    this is the scale path: map-only end to end."""
+    return _run_matcher(text_spans, automaton_broadcast, fold, best_per_site=True)
+
+
+def _run_matcher(
+    text_spans: DataFrame, automaton_broadcast, fold: bool, best_per_site: bool
+) -> DataFrame:
     def matcher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ac = automaton_broadcast.value
         search = ac.search
@@ -109,7 +126,21 @@ def match_text_spans(
                 if not text:
                     continue
                 tokens = (fold_text(text) if do_fold else text).split(" ")
-                for start, end, curie, score in search(tokens):
+                if best_per_site:
+                    # keep the top candidate per start site: score desc,
+                    # match length desc, curie asc (same order as
+                    # best_match's window)
+                    best: dict[int, tuple] = {}
+                    for start, end, curie, score in search(tokens):
+                        key = (-score, -(end - start), curie)
+                        if start not in best or key < best[start][0]:
+                            best[start] = (key, end, curie, score)
+                    matches = [
+                        (s, e, c, sc) for s, (_, e, c, sc) in best.items()
+                    ]
+                else:
+                    matches = list(search(tokens))
+                for start, end, curie, score in matches:
                     doc_ids.append(doc_id)
                     span_idxs.append(span_idx)
                     starts.append(start)
@@ -199,11 +230,13 @@ def best_match(mentions: DataFrame) -> DataFrame:
 def detect_mentions(
     documents: DataFrame, automaton_broadcast, keep_all: bool = False
 ) -> DataFrame:
-    """documents(doc_id, spans[]) → best-match mentions."""
+    """documents(doc_id, spans[]) → best-match mentions (map-only: the
+    per-site top-1 resolves inside the UDF, no shuffle)."""
     exploded = explode_spans(documents)
     text_spans = exploded.where(F.col("kind") == "text")
-    raw = match_text_spans(text_spans, automaton_broadcast)
-    return raw if keep_all else best_match(raw)
+    if keep_all:
+        return match_text_spans(text_spans, automaton_broadcast)
+    return match_text_spans_best(text_spans, automaton_broadcast)
 
 
 def mention_triples(mentions: DataFrame) -> DataFrame:

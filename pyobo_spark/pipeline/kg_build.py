@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..grounding import dictionary, matcher
+from ..normalize.curie import normalize_curies, parse_metrics
 from ..operators import components, exports
 
 
@@ -69,10 +70,27 @@ def run_kg_pipeline(
         .drop("alt_curie", "primary_curie")
     )
 
-    # xref equivalence classes → map every curie to its component rep
-    xr = tables["xrefs"]
+    # normalize xref target curies through the identifier kernel
+    # (identifier_utils semantics): bad-status rows are EXCLUDED from the
+    # equivalence graph and surfaced in parse-status lineage counters
+    # (the reference's counter-logged warnings, reference.py:213-258)
+    xr_raw = tables["xrefs"].select(
+        F.col("prefix").alias("subj_prefix"),
+        F.col("identifier").alias("subj_identifier"),
+        "predicate",
+        F.concat("target_prefix", F.lit(":"), "target_id").alias("target_curie"),
+    )
+    xr_parsed = normalize_curies(xr_raw, "target_curie")
+    parse_lineage = parse_metrics(xr_parsed)
+    xr = xr_parsed.where(F.col("parse_status") == "ok").select(
+        "subj_prefix",
+        "subj_identifier",
+        "predicate",
+        F.col("prefix").alias("target_prefix"),
+        F.col("identifier").alias("target_id"),
+    )
     cc_edges = xr.select(
-        F.concat("prefix", F.lit(":"), "identifier").alias("src"),
+        F.concat("subj_prefix", F.lit(":"), "subj_identifier").alias("src"),
         F.concat("target_prefix", F.lit(":"), "target_id").alias("dst"),
     )
     comp = components.connected_components(cc_edges)
@@ -105,9 +123,12 @@ def run_kg_pipeline(
         "components": comp,
         "names": exports.names(terms),
         "mappings": xr.select(
-            F.concat("prefix", F.lit(":"), "identifier").alias("subject_id"),
+            F.concat("subj_prefix", F.lit(":"), "subj_identifier").alias(
+                "subject_id"
+            ),
             F.col("predicate").alias("predicate_id"),
             F.concat("target_prefix", F.lit(":"), "target_id").alias("object_id"),
         ).dropDuplicates(),
+        "parse_lineage": parse_lineage,
         "triples": triples,
     }

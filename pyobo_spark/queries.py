@@ -1145,6 +1145,54 @@ def q_ann_cosine_ivf(spark, sf_dir):
     return similarity.cosine_topk_ivf(emb, queries, k=5, n_probe=4)
 
 
+def q_span_pipeline(spark, sf_dir):
+    """The north-rule interleaved-spans path at benchmark scale: derive a
+    spans corpus from the flat documents table (3 text spans per doc,
+    media spans interleaved every other doc), posexplode → map-only
+    best-per-site matcher → mentions. Rows-only (span construction is
+    engine-internal)."""
+    docs = tp.load(spark, sf_dir, "documents")
+    third = F.expr("length(text) DIV 3")
+    spans = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.substring_index("text", " ", 20).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("image").alias("kind"),
+                F.lit(None).cast("string").alias("text"),
+                F.concat(F.lit("blob://"), F.col("doc_id").cast("string")).alias(
+                    "media_ref"
+                ),
+                F.lit(1).alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.expr("substring(text, length(text) DIV 2)").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                (third + 2).alias("offset"),
+            ),
+        ),
+    ).otherwise(
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("text").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        )
+    )
+    corpus = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                         spans.alias("spans"))
+    bc = spark.sparkContext.broadcast(build_matcher(MENTION_DICT))
+    return matcher.detect_mentions(corpus, bc)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing demo: synthesize binary media from doc text
     bytes, run the (stubbed) feature extractor."""
@@ -1220,6 +1268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "language_id": q_language_id,
     "ann_cosine_lsh": q_ann_cosine_lsh,
     "ann_cosine_ivf": q_ann_cosine_ivf,
+    "span_pipeline": q_span_pipeline,
     "media_features": q_media_features,
 }
 
