@@ -23,7 +23,7 @@ import subprocess
 import sys
 import time
 
-REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "320"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "640"))
 
 
 def child(cpus: int, sf_dir: str, replicate: int) -> None:
@@ -96,7 +96,7 @@ def child(cpus: int, sf_dir: str, replicate: int) -> None:
     # best-of-5: the first runs pay JVM JIT warmup, and the sandbox host
     # oversubscribes vCPUs (nonzero steal time) so single samples are
     # unreliable; min-of-R reflects achievable steady-state throughput
-    runs = [run_once() for _ in range(5)]
+    runs = [run_once() for _ in range(3)]
     wall, g_sec, s_sec = min(runs, key=lambda r: r[0])
     print(json.dumps({"cpus": cpus, "wall_sec": round(wall, 3),
                       "grounding_sec": round(g_sec, 3),
@@ -115,17 +115,26 @@ def main() -> None:
     args = dict(zip(sys.argv[1::2], sys.argv[2::2]))
     n = int(args.get("--n", "8"))
     fourn = int(args.get("--fourn", "32"))
+    rounds = int(args.get("--rounds", "2"))
     sf_dir = args.get("--sf-dir", os.environ.get("SPARK_GRAFT_SF_DIR",
                                                  "/root/testdata/sf0.1"))
-    results = {}
-    for cpus in (n, fourn):
-        out = subprocess.run(
-            [sys.executable, __file__, "--child", str(cpus), sf_dir,
-             str(REPLICATE)],
-            capture_output=True, text=True, timeout=1200,
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+    results: dict[int, dict] = {}
+    # interleave the levels across rounds and keep each level's best —
+    # host-load drift then hits both levels symmetrically
+    for _ in range(rounds):
+        for cpus in (n, fourn):
+            out = subprocess.run(
+                [sys.executable, __file__, "--child", str(cpus), sf_dir,
+                 str(REPLICATE)],
+                capture_output=True, text=True, timeout=1200,
+            )
+            line = [ln for ln in out.stdout.splitlines()
+                    if ln.startswith("{")][-1]
+            res = json.loads(line)
+            if cpus not in results or res["docs_per_sec"] > results[cpus][
+                "docs_per_sec"
+            ]:
+                results[cpus] = res
 
     tn = results[n]["docs_per_sec"]
     t4n = results[fourn]["docs_per_sec"]
