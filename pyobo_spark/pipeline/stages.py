@@ -93,6 +93,28 @@ class PipelineRunner:
         self.results.append(StageResult(name, str(out_dir), False, n_rows, wall))
         return out
 
+    def write_partitioned(
+        self,
+        df,
+        name: str,
+        partition_by: tuple[str, ...] = ("prefix",),
+        sort_within: tuple[str, ...] = ("identifier",),
+    ) -> str:
+        """write_cache-equivalent partitioned artifact: hive-style
+        partition dirs (the Iceberg-partition stand-in) with rows sorted
+        WITHIN each partition (the reference sorts every artifact before
+        writing, utils/io.py:134 — at scale a global sort is replaced by
+        per-partition order, which is what Iceberg sorted tables do)."""
+        out = str(self.root / name / "data")
+        (
+            df.repartition(*[F.col(c) for c in partition_by])
+            .sortWithinPartitions(*partition_by, *sort_within)
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(out)
+        )
+        return out
+
     def lineage_report(self) -> list[dict]:
         return [
             {

@@ -1004,6 +1004,22 @@ WHERE s.n_tokens BETWEEN 10 AND 400
 """
 
 
+def q_typedefs(spark, sf_dir):
+    """The typedef dim itself (iterate typedefs, struct.py:1681-1687)."""
+    return _typedefs_df(spark).select(
+        F.col("typedef_prefix").alias("prefix"),
+        F.col("typedef_id").alias("identifier"),
+    )
+
+
+_TYPEDEF_VALUES = ", ".join(
+    f"('{p}', '{i}')" for p, i, _ in exports.DEFAULT_TYPEDEFS
+)
+SQL_TYPEDEFS = f"""
+SELECT * FROM (VALUES {_TYPEDEF_VALUES}) AS t(prefix, identifier)
+"""
+
+
 def q_references(spark, sf_dir):
     """iterate_references incl. obo:{prefix}# aux refs — synthesized aux
     rows (every 11th part gets an obo default reference)."""
@@ -1258,6 +1274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "hierarchy_edges": q_hierarchy_edges,
     "clean_corpus": q_clean_corpus,
+    "typedefs": q_typedefs,
     "references": q_references,
     "alts_grouped": q_alts_grouped,
     "provenance_routing": q_provenance_routing,
@@ -1317,6 +1334,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "hierarchy_edges": SQL_HIERARCHY_EDGES,
     "clean_corpus": SQL_CLEAN_CORPUS,
+    "typedefs": SQL_TYPEDEFS,
     "references": SQL_REFERENCES,
     "alts_grouped": SQL_ALTS_GROUPED,
     "provenance_routing": SQL_PROVENANCE_ROUTING,

@@ -87,6 +87,57 @@ def test_descendants_and_subhierarchy(spark):
     assert ("e", "a") in anc
 
 
+def test_connected_components_path_graph(spark):
+    """Worst case for star-contraction: a single long path. Must converge
+    to one component with the lexicographic-min representative."""
+    from pyobo_spark.operators.components import connected_components
+
+    n = 64
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n - 1)],
+        "src string, dst string",
+    )
+    got = {
+        (r["curie"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {(f"n{i:03d}", "n000") for i in range(n)}
+
+
+def test_write_partitioned_layout(spark, tmp_path):
+    """Partitioned artifact: hive-style dirs per prefix, rows sorted
+    within partitions."""
+    from pyobo_spark.pipeline.stages import PipelineRunner
+
+    df = spark.createDataFrame(
+        [("bbb", "002"), ("aaa", "003"), ("aaa", "001"), ("bbb", "001")],
+        "prefix string, identifier string",
+    )
+    r = PipelineRunner(spark, str(tmp_path))
+    out = r.write_partitioned(df, "names")
+    import os
+
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("prefix="))
+    assert dirs == ["prefix=aaa", "prefix=bbb"]
+    back = spark.read.parquet(out)
+    aaa = [
+        r2["identifier"]
+        for r2 in back.where("prefix = 'aaa'").collect()
+    ]
+    assert sorted(aaa) == ["001", "003"]
+    # within-file order is sorted (single file per partition here)
+    import pyarrow.parquet as pq
+
+    part_dir = os.path.join(out, "prefix=aaa")
+    files = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    vals = []
+    for f in sorted(files):
+        vals.extend(
+            pq.read_table(os.path.join(part_dir, f)).column("identifier").to_pylist()
+        )
+    assert vals == sorted(vals)
+
+
 def test_pipeline_checkpoint_resume(spark, tmp_path):
     from pyobo_spark.pipeline.stages import PipelineRunner
 
