@@ -1004,6 +1004,32 @@ WHERE s.n_tokens BETWEEN 10 AND 400
 """
 
 
+def q_sssom_with_justification(spark, sf_dir):
+    """SSSOM mapping rows with mapping_justification derived from the
+    predicate family (struct_utils.py:800-818: xrefs are unspecified
+    matching, semantic-equivalence predicates are manual curation)."""
+    xr = exports.sssom_mappings(tp.xrefs(spark, sf_dir))
+    just = (
+        F.when(
+            F.col("predicate_id") == "oboInOwl:hasDbXref",
+            "semapv:UnspecifiedMatching",
+        )
+        .otherwise("semapv:ManualMappingCuration")
+        .alias("mapping_justification")
+    )
+    return xr.select("subject_id", "predicate_id", "object_id", just)
+
+
+SQL_SSSOM_WITH_JUSTIFICATION = f"""
+WITH xrefs AS ({tp.XREFS_SQL})
+SELECT DISTINCT subject_id, predicate_id, object_id,
+       CASE WHEN predicate_id = 'oboInOwl:hasDbXref'
+            THEN 'semapv:UnspecifiedMatching'
+            ELSE 'semapv:ManualMappingCuration' END AS mapping_justification
+FROM xrefs
+"""
+
+
 def q_typedefs(spark, sf_dir):
     """The typedef dim itself (iterate typedefs, struct.py:1681-1687)."""
     return _typedefs_df(spark).select(
@@ -1274,6 +1300,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "hierarchy_edges": q_hierarchy_edges,
     "clean_corpus": q_clean_corpus,
+    "sssom_with_justification": q_sssom_with_justification,
     "typedefs": q_typedefs,
     "references": q_references,
     "alts_grouped": q_alts_grouped,
@@ -1334,6 +1361,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "hierarchy_edges": SQL_HIERARCHY_EDGES,
     "clean_corpus": SQL_CLEAN_CORPUS,
+    "sssom_with_justification": SQL_SSSOM_WITH_JUSTIFICATION,
     "typedefs": SQL_TYPEDEFS,
     "references": SQL_REFERENCES,
     "alts_grouped": SQL_ALTS_GROUPED,

@@ -61,6 +61,11 @@ class ParsedOntology:
     alts: list[dict] = field(default_factory=list)
     properties: list[dict] = field(default_factory=list)
     typedefs: list[dict] = field(default_factory=list)
+    # obsolete-upgrade flow (reader.py replaced_by/consider handling;
+    # surfaced in the nodes export, struct.py:1189-1236)
+    replaced_by: list[dict] = field(default_factory=list)
+    considers: list[dict] = field(default_factory=list)
+    subsets: list[dict] = field(default_factory=list)
 
 
 _ESCAPES = {"n": "\n", "t": "\t", "W": " ", ":": ":", ",": ",", '"': '"',
@@ -209,6 +214,44 @@ def parse_obo_text(text: str) -> ParsedOntology:
                         "target_prefix": tp.lower(), "target_id": ti,
                     }
                 )
+        elif tag == "replaced_by" and "id" in cur:
+            prefix, local = _split_curie(cur["id"])
+            tp_, ti = _split_curie(value)
+            po.replaced_by.append(
+                {"prefix": prefix.lower(), "identifier": local,
+                 "replacement_prefix": tp_.lower() or prefix.lower(),
+                 "replacement_id": ti}
+            )
+        elif tag == "consider" and "id" in cur:
+            prefix, local = _split_curie(cur["id"])
+            tp_, ti = _split_curie(value)
+            po.considers.append(
+                {"prefix": prefix.lower(), "identifier": local,
+                 "consider_prefix": tp_.lower() or prefix.lower(),
+                 "consider_id": ti}
+            )
+        elif tag == "subset" and "id" in cur:
+            prefix, local = _split_curie(cur["id"])
+            po.subsets.append(
+                {"prefix": prefix.lower(), "identifier": local,
+                 "subset": value}
+            )
+        elif tag == "equivalent_to" and "id" in cur:
+            prefix, local = _split_curie(cur["id"])
+            tp_, ti = _split_curie(value)
+            po.xrefs.append(
+                {"prefix": prefix.lower(), "identifier": local,
+                 "predicate": "owl:equivalentClass",
+                 "target_prefix": tp_.lower(), "target_id": ti,
+                 "provenance": None}
+            )
+        elif tag == "comment" and "id" in cur:
+            prefix, local = _split_curie(cur["id"])
+            po.properties.append(
+                {"source_curie": f"{prefix.lower()}:{local}",
+                 "predicate_curie": "rdfs:comment", "value": value,
+                 "datatype": "xsd:string", "language": None}
+            )
         elif tag == "property_value" and "id" in cur:
             prefix, local = _split_curie(cur["id"])
             parts = value.split(" ", 1)

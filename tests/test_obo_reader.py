@@ -27,7 +27,12 @@ relationship: BFO:0000050 CHEBI:27732
 [Term]
 id: CHEBI:26385
 name: purine alkaloid
+comment: an obsolete grouping class
+subset: 3_STAR
 is_obsolete: true
+replaced_by: CHEBI:1234
+consider: CHEBI:27732
+equivalent_to: MESH:D011687
 
 [Typedef]
 id: BFO:0000050
@@ -65,6 +70,26 @@ def test_xref_macro_upgrade():
     preds = {(x["target_prefix"], x["predicate"]) for x in po.xrefs}
     assert ("wikidata", "owl:equivalentClass") in preds
     assert ("cas", "oboInOwl:hasDbXref") in preds
+
+
+def test_obsolete_upgrade_tags():
+    """replaced_by / consider / subset / equivalent_to / comment tags
+    (obsolete-upgrade flow + nodes-export fields)."""
+    po = parse_obo_text(CHEBI_LIKE)
+    assert po.replaced_by == [
+        {"prefix": "chebi", "identifier": "26385",
+         "replacement_prefix": "chebi", "replacement_id": "1234"}
+    ]
+    assert po.considers[0]["consider_id"] == "27732"
+    assert po.subsets == [
+        {"prefix": "chebi", "identifier": "26385", "subset": "3_STAR"}
+    ]
+    equiv = [x for x in po.xrefs if x["predicate"] == "owl:equivalentClass"
+             and x["target_prefix"] == "mesh"]
+    assert equiv and equiv[0]["target_id"] == "D011687"
+    comments = [p for p in po.properties
+                if p["predicate_curie"] == "rdfs:comment"]
+    assert comments[0]["value"] == "an obsolete grouping class"
 
 
 def test_hierarchy_alts_relations_properties():
