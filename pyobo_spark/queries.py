@@ -110,9 +110,11 @@ WHERE relation_prefix = 'RO' AND relation_id = '0002162'
 
 
 def q_relations_typedef_filtered(spark, sf_dir):
+    # semi-join BEFORE the dedup shuffle: the typedef filter drops ~1/3
+    # of rows, so filter-then-distinct beats distinct-then-filter
     return exports.relations_typedef_filtered(
-        tp.relations_raw(spark, sf_dir), _typedefs_df(spark)
-    )
+        tp.relations_raw_nodedup(spark, sf_dir), _typedefs_df(spark)
+    ).distinct()
 
 
 SQL_RELATIONS_TYPEDEF_FILTERED = f"""
@@ -193,8 +195,8 @@ WHERE object_id LIKE 'fixn:%' AND predicate_id = 'oboInOwl:hasDbXref'
 
 def q_edges(spark, sf_dir):
     rel_ok = exports.relations_typedef_filtered(
-        tp.relations_raw(spark, sf_dir), _typedefs_df(spark)
-    )
+        tp.relations_raw_nodedup(spark, sf_dir), _typedefs_df(spark)
+    ).distinct()
     return exports.edges(rel_ok, tp.parents(spark, sf_dir), prefix="fixp")
 
 

@@ -137,6 +137,13 @@ FROM lineitem
 
 
 def relations_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relations_raw_nodedup(spark, sf_dir).distinct()
+
+
+def relations_raw_nodedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-dedup relation rows: callers that filter (typedef semi-join,
+    predicate filters) should filter FIRST and distinct AFTER — the
+    filter drops ~1/3 of rows before the dedup shuffle."""
     li = load(spark, sf_dir, "lineitem")
     m3 = F.col("l_linenumber") % 3
     return li.select(
@@ -153,7 +160,7 @@ def relations_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(m3 == 1, F.col("l_suppkey").cast("string"))
         .otherwise(F.lpad(F.col("l_suppkey").cast("string"), 7, "0"))
         .alias("target_id"),
-    ).distinct()
+    )
 
 
 # ------------------------------------------------------- xref mappings -----
