@@ -1006,6 +1006,73 @@ WHERE s.n_tokens BETWEEN 10 AND 400
 """
 
 
+CANON_DICT: list[tuple[str, str, str]] = MENTION_DICT + [
+    # 'stream' grounds to an ALT id that must canonicalize to 0000009
+    ("stream", "fixo:8000009", "rdfs:label"),
+]
+_CANON_DICT_SQL = ", ".join(
+    f"('{t}', '{c}')" for t, c, _ in CANON_DICT
+)
+
+
+def q_mention_canonicalized(spark, sf_dir):
+    """End-to-end north-rule link path with an oracle: detect mentions →
+    alt-id upgrade (broadcast) → canonical mention counts per curie."""
+    ac = build_matcher(CANON_DICT)
+    bc = spark.sparkContext.broadcast(ac)
+    counts = matcher.match_mention_counts(_docs_as_spans(spark, sf_dir), bc)
+    alt_map = spark.createDataFrame(
+        [("fixo:8000009", "fixo:0000009")], "alt_curie string, primary string"
+    )
+    return (
+        counts.join(F.broadcast(alt_map), counts.curie == alt_map.alt_curie, "left")
+        .select(
+            F.coalesce("primary", "curie").alias("curie"),
+            "n_mentions",
+        )
+        .groupBy("curie")
+        .agg(F.sum("n_mentions").alias("n_mentions"))
+    )
+
+
+SQL_MENTION_CANONICALIZED = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+dict(tok, curie) AS (VALUES {_CANON_DICT_SQL}),
+counts AS (
+  SELECT CASE d.curie WHEN 'fixo:8000009' THEN 'fixo:0000009'
+         ELSE d.curie END AS curie,
+         count(*) AS n
+  FROM toks t JOIN dict d ON t.tok = d.tok
+  GROUP BY 1
+)
+SELECT curie, CAST(n AS BIGINT) AS n_mentions FROM counts
+"""
+
+
+def q_token_counts_regex(spark, sf_dir):
+    """BPE-ish regex token counting (word pieces + punctuation as
+    separate tokens) alongside whitespace tokens."""
+    docs = tp.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")
+        ).cast("bigint").alias("regex_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS_REGEX = r"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]', 0)) AS BIGINT)
+         AS regex_tokens
+FROM documents
+"""
+
+
 def q_sssom_with_justification(spark, sf_dir):
     """SSSOM mapping rows with mapping_justification derived from the
     predicate family (struct_utils.py:800-818: xrefs are unspecified
@@ -1302,6 +1369,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "hierarchy_edges": q_hierarchy_edges,
     "clean_corpus": q_clean_corpus,
+    "mention_canonicalized": q_mention_canonicalized,
+    "token_counts_regex": q_token_counts_regex,
     "sssom_with_justification": q_sssom_with_justification,
     "typedefs": q_typedefs,
     "references": q_references,
@@ -1363,6 +1432,8 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
     "hierarchy_edges": SQL_HIERARCHY_EDGES,
     "clean_corpus": SQL_CLEAN_CORPUS,
+    "mention_canonicalized": SQL_MENTION_CANONICALIZED,
+    "token_counts_regex": SQL_TOKEN_COUNTS_REGEX,
     "sssom_with_justification": SQL_SSSOM_WITH_JUSTIFICATION,
     "typedefs": SQL_TYPEDEFS,
     "references": SQL_REFERENCES,
