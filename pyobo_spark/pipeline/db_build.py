@@ -82,3 +82,24 @@ def build_artifact(
     (path / "_METADATA.json").parent.mkdir(parents=True, exist_ok=True)
     (path / "_METADATA.json").write_text(json.dumps(report, default=str, indent=1))
     return report
+
+
+def ontology_metadata(
+    prefix: str,
+    version: str | None,
+    idspaces: dict[str, str] | None = None,
+    n_terms: int | None = None,
+) -> dict:
+    """Per-ontology metadata artifact (reference: metadata JSON +
+    prefix→URI map, struct.py:1328-1338, :717-757) — version, date,
+    idspace table. Written alongside each ontology's tables."""
+    import time as _t
+
+    return {
+        "prefix": prefix,
+        "version": version,
+        "idspaces": idspaces or {},
+        "n_terms": n_terms,
+        "generated": _t.strftime("%Y-%m-%dT%H:%M:%SZ", _t.gmtime()),
+        "engine": "pyobo_spark",
+    }
