@@ -39,10 +39,9 @@ def _large_star(e: DataFrame) -> DataFrame:
     big = nbrs.where(F.col("dst") > F.col("src")).alias("n").join(
         m.alias("m"), on="src"
     )
-    return (
-        big.select(F.col("n.dst").alias("src"), F.col("m.m").alias("dst"))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
+    # no distinct here: the caller symmetrizes and dedups in ONE shuffle
+    return big.select(F.col("n.dst").alias("src"), F.col("m.m").alias("dst")).where(
+        F.col("src") != F.col("dst")
     )
 
 
@@ -57,7 +56,8 @@ def _small_star(e: DataFrame) -> DataFrame:
     out = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst")).unionByName(
         m.select(F.col("src"), F.col("m").alias("dst"))
     )
-    return out.where(F.col("src") != F.col("dst")).distinct()
+    # no distinct here: caller dedups after symmetrization
+    return out.where(F.col("src") != F.col("dst"))
 
 
 def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
@@ -84,16 +84,16 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         ).first()
         return (row["n"], row["h"])
 
+    def _sym_dedup(df: DataFrame) -> DataFrame:
+        """Symmetrize + dedup in a single shuffle."""
+        return df.unionByName(
+            df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
     prev_fp = _fingerprint(e)
     for _ in range(max_iter):
-        e2 = _large_star(e)
-        e2 = e2.unionByName(
-            e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
-        e3 = _small_star(e2)
-        e3 = e3.unionByName(
-            e3.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct().localCheckpoint(eager=True)
+        e2 = _sym_dedup(_large_star(e))
+        e3 = _sym_dedup(_small_star(e2)).localCheckpoint(eager=True)
         fp = _fingerprint(e3)
         e = e3
         if fp == prev_fp:

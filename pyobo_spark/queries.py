@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .grounding import matcher
-from .grounding.dictionary import build_automaton, build_matcher
+from .grounding.dictionary import build_matcher
 from .operators import dedup, exports, hierarchy, similarity, textstats
 from .operators.components import connected_components
 from .sources import tpch_adapter as tp
