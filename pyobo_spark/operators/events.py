@@ -33,6 +33,21 @@ def tumbling_window_counts(events: DataFrame, minutes: int = 60) -> DataFrame:
     )
 
 
+def sliding_window_counts(
+    events: DataFrame, window_minutes: int = 60, slide_minutes: int = 30
+) -> DataFrame:
+    """Sliding event-time windows: every event lands in
+    window/slide overlapping windows (F.window with slideDuration)."""
+    w = F.window("ts", f"{window_minutes} minutes", f"{slide_minutes} minutes")
+    return (
+        events.groupBy(w.alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Session windows per user: a new session starts when the gap from
     the previous event exceeds gap_minutes. Classic lag + running-sum

@@ -827,6 +827,29 @@ FROM tagged GROUP BY user_id, session_seq
 """
 
 
+def q_events_sliding(spark, sf_dir):
+    from .operators import events as ev
+
+    return ev.sliding_window_counts(
+        tp.load(spark, sf_dir, "events"), window_minutes=60, slide_minutes=30
+    )
+
+
+# sliding 60m/30m: each event belongs to the windows starting at
+# trunc30(ts) and trunc30(ts) - 30min — expressible as a 2-way union
+SQL_EVENTS_SLIDING = """
+WITH starts AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start,
+         event_type FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+         event_type FROM events
+)
+SELECT window_start, event_type, count(*) AS n_events
+FROM starts GROUP BY window_start, event_type
+"""
+
+
 def q_salted_counts(spark, sf_dir):
     from .operators import events as ev
 
@@ -1364,6 +1387,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "literal_mappings_subset": q_literal_mappings_subset,
     "events_windowed": q_events_windowed,
     "events_sessionize": q_events_sessionize,
+    "events_sliding": q_events_sliding,
     "salted_counts": q_salted_counts,
     "normalize_curies": q_normalize_curies,
     "embedding_near_dup": q_embedding_near_dup,
@@ -1427,6 +1451,7 @@ ORACLES: dict[str, str] = {
     "literal_mappings_subset": SQL_LITERAL_MAPPINGS_SUBSET,
     "events_windowed": SQL_EVENTS_WINDOWED,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_sliding": SQL_EVENTS_SLIDING,
     "salted_counts": SQL_SALTED_COUNTS,
     "normalize_curies": SQL_NORMALIZE_CURIES,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
