@@ -450,6 +450,35 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
+def q_distinct_parts_per_supplier(spark, sf_dir):
+    """Exact distinct aggregation (partial+final hash agg)."""
+    li = tp.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_suppkey").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+SQL_DISTINCT_PARTS_PER_SUPPLIER = """
+SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_rows
+FROM lineitem GROUP BY l_suppkey
+"""
+
+
+def q_rollup_counts(spark, sf_dir):
+    """ROLLUP grouping sets over lineitem flags."""
+    li = tp.load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+SQL_ROLLUP_COUNTS = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
 def q_relation_counters(spark, sf_dir):
     rel = tp.relations_raw(spark, sf_dir)
     return rel.groupBy("relation_prefix", "relation_id").agg(
@@ -1370,6 +1399,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "pricing_summary": q_pricing_summary,
     "relation_counters": q_relation_counters,
+    "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
+    "rollup_counts": q_rollup_counts,
     "descendants": q_descendants,
     "has_ancestor": q_has_ancestor,
     "subhierarchy": q_subhierarchy,
@@ -1434,6 +1465,8 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "relation_counters": SQL_RELATION_COUNTERS,
+    "distinct_parts_per_supplier": SQL_DISTINCT_PARTS_PER_SUPPLIER,
+    "rollup_counts": SQL_ROLLUP_COUNTS,
     "descendants": SQL_DESCENDANTS,
     "has_ancestor": SQL_HAS_ANCESTOR,
     "subhierarchy": SQL_SUBHIERARCHY,
