@@ -181,6 +181,18 @@ def match_mention_counts(
     match_text_spans + groupBy count, at a fraction of the transfer and
     shuffle volume — this is the hot path for corpus-scale counter
     stages (db_output_helper counters, getters.py:477-571)."""
+    partial = match_mention_counts_partial(text_spans, matcher_broadcast, fold)
+    return partial.groupBy("doc_id", "curie").agg(F.sum("n").alias("n_mentions"))
+
+
+def match_mention_counts_partial(
+    text_spans: DataFrame, matcher_broadcast, fold: bool = True
+) -> DataFrame:
+    """The map-only partial stage of match_mention_counts: (doc_id,
+    curie, n) with per-document combine inside the Arrow batch and NO
+    aggregation — streaming stateful consumers (applyInPandasWithState)
+    take this directly, since Structured Streaming forbids an agg before
+    the stateful operator."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ac = matcher_broadcast.value
@@ -205,10 +217,9 @@ def match_mention_counts(
                     ns.extend(cnt.values())
             yield pd.DataFrame({"doc_id": doc_ids, "curie": curies, "n": ns})
 
-    partial = text_spans.select(
+    return text_spans.select(
         F.col("doc_id").cast("string"), "text"
     ).mapInPandas(run, schema=COUNT_SCHEMA)
-    return partial.groupBy("doc_id", "curie").agg(F.sum("n").alias("n_mentions"))
 
 
 def best_match(mentions: DataFrame) -> DataFrame:

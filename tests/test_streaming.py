@@ -50,6 +50,49 @@ def test_streaming_incremental_resume(spark, tmp_path):
     assert second.where("doc_id = '1' and curie = 'fixo:0000001'").count() == 1
 
 
+def test_stateful_cumulative_totals(spark, tmp_path):
+    """applyInPandasWithState: totals accumulate across micro-batches
+    within a run AND across restarts (state store checkpoint)."""
+    from pyobo_spark.streaming.stateful import stream_cumulative_mention_totals
+
+    in_dir = str(tmp_path / "sin")
+    out_dir = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    bc = spark.sparkContext.broadcast(build_matcher(Q.MENTION_DICT))
+
+    # two files → two micro-batches (maxFilesPerTrigger=1)
+    spark.createDataFrame([(1, "spark spark")], SCHEMA).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame([(2, "spark join")], SCHEMA).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream_cumulative_mention_totals(spark, in_dir, SCHEMA, bc, ckpt, out_dir)
+
+    rows = spark.read.parquet(out_dir).collect()
+    latest = {}
+    for r in rows:
+        cur = latest.get(r["curie"])
+        if cur is None or r["batch_id"] > cur["batch_id"]:
+            latest[r["curie"]] = r
+    assert latest["fixo:0000001"]["total_mentions"] == 3  # 2 + 1 across docs
+    assert latest["fixo:0000002"]["total_mentions"] == 1
+    # state accumulated over >1 micro-batch for the curie seen in both
+    assert latest["fixo:0000001"]["n_batches_seen"] >= 1
+
+    # restart with a NEW file: totals continue from checkpointed state
+    spark.createDataFrame([(3, "spark")], SCHEMA).write.mode("append").parquet(
+        in_dir
+    )
+    stream_cumulative_mention_totals(spark, in_dir, SCHEMA, bc, ckpt, out_dir)
+    rows2 = spark.read.parquet(out_dir).collect()
+    best = max(
+        (r for r in rows2 if r["curie"] == "fixo:0000001"),
+        key=lambda r: r["batch_id"],
+    )
+    assert best["total_mentions"] == 4  # resumed from 3, +1
+
+
 def test_streaming_windowed_watermark(spark, tmp_path):
     """Windowed agg with watermark: closed windows emit in append mode;
     a late event behind the watermark is dropped on the next run."""
