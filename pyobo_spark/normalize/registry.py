@@ -77,6 +77,30 @@ REMAP_FULL: dict[str, tuple[str, str]] = {
     "in_taxon": ("RO", "0002162"),
 }
 
+# relation-label grounding (reference: ground_relation,
+# identifier_utils/relations/api.py:66-72 — label normalized by stripping
+# space/underscore/colon + lowercase, then looked up in a packaged map).
+# Subset of the RO/BFO/IAO labels the engine's typedefs cover.
+RELATION_LABELS: dict[str, tuple[str, str]] = {
+    "partof": ("BFO", "0000050"),
+    "haspart": ("BFO", "0000051"),
+    "intaxon": ("RO", "0002162"),
+    "isa": ("rdfs", "subClassOf"),
+    "locatedin": ("RO", "0001025"),
+    "derivesfrom": ("RO", "0001000"),
+    "hasrole": ("RO", "0000087"),
+}
+
+
+def ground_relation(label: str) -> tuple[str, str] | None:
+    """Normalize a relation label (_norm: strip space/underscore/colon/
+    dash, lowercase) and look it up."""
+    norm = (
+        label.strip().lower()
+        .replace(" ", "").replace("_", "").replace(":", "").replace("-", "")
+    )
+    return RELATION_LABELS.get(norm)
+
 
 @dataclass
 class Registry:

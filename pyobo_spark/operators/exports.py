@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 # defined typedef are DROPPED (struct.py:1872-1888).
 DEFAULT_TYPEDEFS: tuple[tuple[str, str, str], ...] = (
     ("BFO", "0000050", "part of"),
+    ("BFO", "0000051", "has part"),
     ("RO", "0002162", "in taxon"),
+    ("RO", "0000087", "has role"),
     ("rdfs", "subClassOf", "is a"),
     ("oboInOwl", "hasDbXref", "has database cross-reference"),
     ("skos", "exactMatch", "exact match"),

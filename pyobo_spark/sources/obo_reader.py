@@ -206,6 +206,14 @@ def parse_obo_text(text: str) -> ParsedOntology:
             parts = value.split()
             if len(parts) >= 2:
                 rp, ri = _split_curie(parts[0])
+                if not rp:
+                    # unqualified predicate label ('has_part') → ground to
+                    # its typedef CURIE (reference: ground_relation,
+                    # identifier_utils/relations/api.py:66-72)
+                    from ..normalize.registry import ground_relation
+
+                    hit = ground_relation(parts[0])
+                    rp, ri = hit if hit else ("", parts[0])
                 tp, ti = _split_curie(parts[1])
                 po.relations.append(
                     {

@@ -85,10 +85,11 @@ def test_property_values(po):
 
 
 def test_unqualified_relationship_predicate(po):
-    # 'relationship: has_part CHEBI:17051' — unqualified predicate token
-    hp = [r for r in po.relations if r["relation_prefix"] == "has_part"
-          or r["relation_id"] == "has_part"]
-    assert hp, "has_part relationship must be captured"
+    # 'relationship: has_part CHEBI:17051' — unqualified predicate label
+    # grounds to BFO:0000051 (ground_relation semantics)
+    hp = [r for r in po.relations
+          if (r["relation_prefix"], r["relation_id"]) == ("BFO", "0000051")]
+    assert hp, "has_part must ground to BFO:0000051"
     assert hp[0]["target_id"] == "17051"
 
 
