@@ -66,6 +66,12 @@ class ParsedOntology:
     replaced_by: list[dict] = field(default_factory=list)
     considers: list[dict] = field(default_factory=list)
     subsets: list[dict] = field(default_factory=list)
+    # logical definitions (struct_utils edges legs: intersections/unions)
+    intersections: list[dict] = field(default_factory=list)
+    unions: list[dict] = field(default_factory=list)
+    # header metadata
+    date: str | None = None          # ISO-8601 (parsed from %d:%m:%Y %H:%M)
+    idspaces: dict[str, str] = field(default_factory=dict)
 
 
 _ESCAPES = {"n": "\n", "t": "\t", "W": " ", ":": ":", ",": ",", '"': '"',
@@ -148,6 +154,21 @@ def parse_obo_text(text: str) -> ParsedOntology:
             elif tag.startswith("treat-xrefs-as-"):
                 kind = tag[len("treat-xrefs-as-"):]
                 po.macros.setdefault(kind, []).append(value.lower())
+            elif tag == "date":
+                # OBO header date format %d:%m:%Y %H:%M (constants.py:115,
+                # reader.py:808) → ISO-8601
+                import datetime as _dt
+
+                try:
+                    po.date = _dt.datetime.strptime(
+                        value, "%d:%m:%Y %H:%M"
+                    ).isoformat()
+                except ValueError:
+                    po.date = value
+            elif tag == "idspace":
+                parts = value.split(None, 2)
+                if len(parts) >= 2:
+                    po.idspaces[parts[0]] = parts[1]
             continue
 
         if tag == "id":
@@ -221,6 +242,29 @@ def parse_obo_text(text: str) -> ParsedOntology:
                         "relation_prefix": rp or parts[0], "relation_id": ri,
                         "target_prefix": tp.lower(), "target_id": ti,
                     }
+                )
+        elif tag in ("intersection_of", "union_of") and "id" in cur:
+            prefix, local = _split_curie(cur["id"])
+            parts = value.split()
+            if tag == "intersection_of":
+                # either 'intersection_of: CHEBI:X' (genus) or
+                # 'intersection_of: RO:R CHEBI:X' (differentia)
+                if len(parts) == 1:
+                    rp, ri = "", ""
+                    tp_, ti = _split_curie(parts[0])
+                else:
+                    rp, ri = _split_curie(parts[0])
+                    tp_, ti = _split_curie(parts[1])
+                po.intersections.append(
+                    {"prefix": prefix.lower(), "identifier": local,
+                     "relation_prefix": rp, "relation_id": ri,
+                     "target_prefix": tp_.lower(), "target_id": ti}
+                )
+            else:
+                tp_, ti = _split_curie(parts[0])
+                po.unions.append(
+                    {"prefix": prefix.lower(), "identifier": local,
+                     "target_prefix": tp_.lower(), "target_id": ti}
                 )
         elif tag == "replaced_by" and "id" in cur:
             prefix, local = _split_curie(cur["id"])

@@ -72,6 +72,30 @@ def test_xref_macro_upgrade():
     assert ("cas", "oboInOwl:hasDbXref") in preds
 
 
+def test_header_date_idspace_and_logical_defs():
+    po = parse_obo_text(
+        """format-version: 1.2
+date: 27:02:2020 18:48
+idspace: GO urn:lsid:bioontology.org:GO: "gene ontology"
+ontology: chebi
+
+[Term]
+id: CHEBI:10
+intersection_of: CHEBI:11
+intersection_of: BFO:0000050 CHEBI:12
+union_of: CHEBI:13
+"""
+    )
+    assert po.date == "2020-02-27T18:48:00"
+    assert po.idspaces == {"GO": "urn:lsid:bioontology.org:GO:"}
+    assert po.intersections[0]["target_id"] == "11"
+    assert po.intersections[0]["relation_prefix"] == ""
+    assert (po.intersections[1]["relation_prefix"],
+            po.intersections[1]["relation_id"]) == ("BFO", "0000050")
+    assert po.intersections[1]["target_id"] == "12"
+    assert po.unions[0]["target_id"] == "13"
+
+
 def test_obsolete_upgrade_tags():
     """replaced_by / consider / subset / equivalent_to / comment tags
     (obsolete-upgrade flow + nodes-export fields)."""
