@@ -1,0 +1,285 @@
+"""PyOBO-compatible lookup API — the reference's function-per-artifact
+surface (src/pyobo/__init__.py:3-92, src/pyobo/api/) over Spark tables.
+
+`OntologyCatalog` holds the long tables (terms, synonyms, xrefs,
+relations, parents, alts, properties) for any number of ontologies —
+loaded from parquet, from the OBO/OBO-Graph/N-Triples readers, or from
+the fixture generator. Functions keep the reference's names and
+semantics; *_df variants return DataFrames (the scalable form),
+*_mapping variants collect to driver dicts exactly like the reference's
+cached-mapping API (safe: per-ontology exports are dictionary-sized,
+never corpus-sized).
+
+Reference citations per method point into /root/reference/src/pyobo/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .grounding import dictionary as _dict
+from .grounding import matcher as _matcher
+from .operators import exports, hierarchy
+from .pipeline.kg_build import build_literal_mappings
+
+
+class OntologyCatalog:
+    def __init__(self, tables: dict[str, DataFrame]):
+        self.terms = tables["terms"]
+        self.synonyms = tables.get("synonyms")
+        self.xrefs = tables.get("xrefs")
+        self.relations = tables.get("relations")
+        self.parents = tables.get("parents")
+        self.alts = tables.get("alts")
+        self.properties = tables.get("properties")
+        self._spark = self.terms.sparkSession
+        self._grounder_bc = None
+
+    # ---- names (api/names.py) ----
+    def get_ids(self, prefix: str) -> set[str]:
+        """api/names.py:127-141."""
+        return {
+            r["identifier"]
+            for r in self.terms.where(F.col("prefix") == prefix)
+            .select("identifier").collect()
+        }
+
+    def get_id_name_mapping(self, prefix: str) -> dict[str, str]:
+        """api/names.py:201-234."""
+        df = exports.names(self.terms.where(F.col("prefix") == prefix))
+        return {r["identifier"]: r["name"] for r in df.collect()}
+
+    def get_name_id_mapping(self, prefix: str) -> dict[str, str]:
+        """api/names.py:239-245 (deterministic min-id on collision)."""
+        df = exports.name_id_mapping(self.terms.where(F.col("prefix") == prefix))
+        return {r["name"]: r["identifier"] for r in df.collect()}
+
+    def get_name(self, prefix: str, identifier: str) -> str | None:
+        """api/names.py:68-122 — with alt-id upgrade fallback."""
+        primary = self.get_primary_identifier(prefix, identifier)
+        rows = (
+            self.terms.where(
+                (F.col("prefix") == prefix)
+                & (F.col("identifier") == primary)
+            ).select("name").collect()
+        )
+        return rows[0]["name"] if rows else None
+
+    def get_definition(self, prefix: str, identifier: str) -> str | None:
+        """api/names.py definition lookup w/ reference cleanup."""
+        df = exports.definitions(
+            self.terms.where(
+                (F.col("prefix") == prefix) & (F.col("identifier") == identifier)
+            )
+        )
+        rows = df.collect()
+        return rows[0]["definition"] if rows else None
+
+    def get_obsolete(self, prefix: str) -> set[str]:
+        """api/names.py:281-296."""
+        return {
+            r["identifier"]
+            for r in exports.obsoletes(
+                self.terms.where(F.col("prefix") == prefix)
+            ).select("identifier").collect()
+        }
+
+    def get_references(self, prefix: str) -> DataFrame:
+        """api/names.py:166-196 (incl. obo:{prefix}# aux refs)."""
+        return exports.references(self.terms, prefix)
+
+    def get_id_synonyms_mapping(self, prefix: str) -> dict[str, list[str]]:
+        """api/names.py:318-329 — sorted synonym lists."""
+        df = exports.synonyms_grouped(
+            self.synonyms.where(F.col("prefix") == prefix)
+        )
+        return {
+            r["identifier"]: r["synonyms"].split("|") if r["synonyms"] else []
+            for r in df.collect()
+        }
+
+    # ---- alts (api/alts.py) ----
+    def get_id_to_alts(self, prefix: str) -> dict[str, list[str]]:
+        """api/alts.py:34-47."""
+        df = exports.alts_grouped(self.alts.where(F.col("prefix") == prefix))
+        return {
+            r["identifier"]: r["alt_ids"].split("|") for r in df.collect()
+        }
+
+    def get_primary_identifier(self, prefix: str, identifier: str) -> str:
+        """api/alts.py:89-105 — alts_to_id.get(id, id)."""
+        rows = (
+            self.alts.where(
+                (F.col("prefix") == prefix) & (F.col("alt_id") == identifier)
+            ).select("identifier").collect()
+        )
+        return rows[0]["identifier"] if rows else identifier
+
+    # ---- xrefs / mappings (api/xrefs.py) ----
+    def get_xrefs_df(self, prefix: str) -> DataFrame:
+        """api/xrefs.py:90-105 (deduped)."""
+        return (
+            self.xrefs.where(F.col("prefix") == prefix)
+            .select("identifier", "predicate", "target_prefix", "target_id")
+            .dropDuplicates()
+        )
+
+    def get_filtered_xrefs(
+        self, prefix: str, xref_prefix: str
+    ) -> dict[str, str]:
+        """api/xrefs.py:62-84."""
+        df = (
+            self.xrefs.where(
+                (F.col("prefix") == prefix)
+                & (F.col("target_prefix") == xref_prefix)
+            )
+            .groupBy("identifier")
+            .agg(F.min("target_id").alias("target_id"))
+        )
+        return {r["identifier"]: r["target_id"] for r in df.collect()}
+
+    def get_mappings_df(self, prefix: str) -> DataFrame:
+        """SSSOM rows (struct.py:2167-2201)."""
+        return (
+            self.xrefs.where(F.col("prefix") == prefix)
+            .select(
+                F.concat("prefix", F.lit(":"), "identifier").alias("subject_id"),
+                F.col("predicate").alias("predicate_id"),
+                F.concat("target_prefix", F.lit(":"), "target_id").alias(
+                    "object_id"
+                ),
+            )
+            .dropDuplicates()
+        )
+
+    # ---- relations / species (api/relations.py, api/species.py) ----
+    def get_relations_df(self, prefix: str) -> DataFrame:
+        return self.relations.where(F.col("prefix") == prefix)
+
+    def get_filtered_relations_df(
+        self, prefix: str, relation: tuple[str, str]
+    ) -> DataFrame:
+        return exports.filtered_relations(
+            self.relations.where(F.col("prefix") == prefix), *relation
+        )
+
+    def get_relation_mapping(
+        self, prefix: str, relation: tuple[str, str], target_prefix: str
+    ) -> dict[str, str]:
+        df = exports.relation_mapping(
+            self.relations.where(F.col("prefix") == prefix),
+            relation[0], relation[1], target_prefix,
+        )
+        return {r["identifier"]: r["target_id"] for r in df.collect()}
+
+    def get_id_species_mapping(self, prefix: str) -> dict[str, str]:
+        """api/species.py:25-45."""
+        df = exports.species(self.relations.where(F.col("prefix") == prefix))
+        return {r["identifier"]: r["taxonomy_id"] for r in df.collect()}
+
+    # ---- properties (api/properties.py) ----
+    def get_properties_df(self, prefix: str) -> DataFrame:
+        return exports.properties_combined(
+            self.properties, self._empty_object_props(), prefix
+        )
+
+    def get_filtered_properties_mapping(
+        self, prefix: str, prop: str
+    ) -> dict[str, str]:
+        df = exports.filtered_properties_mapping(self.properties, prop, prefix)
+        return {r["identifier"]: r["value"] for r in df.collect()}
+
+    def _empty_object_props(self) -> DataFrame:
+        from . import schemas
+
+        return self._spark.createDataFrame([], schemas.OBJECT_PROPERTIES)
+
+    # ---- hierarchy (api/hierarchy.py) ----
+    def get_hierarchy(self, prefix: str, **kw) -> DataFrame:
+        return hierarchy.hierarchy_edges(
+            self.parents, self.relations, prefix=prefix, **kw
+        )
+
+    def get_ancestors(self, prefix: str, identifier: str) -> set[str]:
+        clos = hierarchy.ancestors(self.parents)
+        return {
+            r["ancestor"]
+            for r in clos.where(F.col("identifier") == identifier).collect()
+        }
+
+    def get_descendants(self, prefix: str, identifier: str) -> set[str]:
+        clos = hierarchy.descendants(self.parents)
+        return {
+            r["descendant"]
+            for r in clos.where(F.col("identifier") == identifier).collect()
+        }
+
+    def get_children(self, prefix: str, identifier: str) -> set[str]:
+        return {
+            r["identifier"]
+            for r in hierarchy.children(self.parents, identifier).collect()
+        }
+
+    def has_ancestor(self, prefix: str, identifier: str, anc: str) -> bool:
+        return anc in self.get_ancestors(prefix, identifier)
+
+    def is_descendent(self, prefix: str, identifier: str, desc: str) -> bool:
+        """(sic — the reference spells it 'is_descendent')."""
+        return desc in self.get_descendants(prefix, identifier)
+
+    def get_subhierarchy(self, prefix: str, root: str) -> DataFrame:
+        return hierarchy.subhierarchy(self.parents, root)
+
+    def get_edges_df(self, prefix: str) -> DataFrame:
+        typedefs = self._spark.createDataFrame(
+            [(p, i) for p, i, _ in exports.DEFAULT_TYPEDEFS],
+            "typedef_prefix string, typedef_id string",
+        )
+        rel_ok = exports.relations_typedef_filtered(
+            self.relations.where(F.col("prefix") == prefix), typedefs
+        )
+        return exports.edges(rel_ok, self.parents, prefix=prefix)
+
+    # ---- grounding / NER (pyobo.ground, ner/) ----
+    def get_literal_mappings_df(
+        self, prefix: str, skip_obsolete: bool = False
+    ) -> DataFrame:
+        lm = build_literal_mappings(
+            self.terms.where(F.col("prefix") == prefix),
+            self.synonyms.where(F.col("prefix") == prefix),
+        )
+        if skip_obsolete:
+            lm = lm.join(
+                exports.obsoletes(self.terms),
+                on=["prefix", "identifier"],
+                how="left_anti",
+            )
+        return lm
+
+    def get_grounder(self, prefix: str, skip_obsolete: bool = False):
+        """ner/api.py:30-58 — broadcast hybrid matcher."""
+        if self._grounder_bc is None:
+            entries = _dict.dictionary_entries(
+                self.get_literal_mappings_df(prefix, skip_obsolete)
+            )
+            self._grounder_bc = self._spark.sparkContext.broadcast(
+                _dict.build_matcher(entries)
+            )
+        return self._grounder_bc
+
+    def ground(self, prefix: str, text: str) -> str | None:
+        """pyobo.ground (ner/normalizer.py:41-62): best match for one
+        string — driver-side convenience over the same matcher."""
+        m = self.get_grounder(prefix).value
+        tokens = _dict.fold_text(text).split(" ")
+        best = None
+        for start, end, curie, score in m.search(tokens):
+            key = (-score, -(end - start), curie)
+            if best is None or key < best[0]:
+                best = (key, curie)
+        return best[1] if best else None
+
+    def ground_df(self, prefix: str, documents: DataFrame) -> DataFrame:
+        """Batch grounding: documents(doc_id, spans[]) → best mentions."""
+        return _matcher.detect_mentions(documents, self.get_grounder(prefix))

@@ -1,0 +1,79 @@
+"""PyOBO-compatible API surface over the fixture catalog — mirrors the
+reference's end-to-end API test family (tests/test_api.py:178-374:
+every function asserted against hand-computed outputs)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyobo_spark.api import OntologyCatalog
+from pyobo_spark.fixtures import generator
+
+
+@pytest.fixture(scope="module")
+def catalog(spark):
+    tables = generator.to_spark(spark, generator.generate(n_terms=40, n_docs=5))
+    from pyobo_spark import schemas
+
+    tables = dict(
+        tables, properties=spark.createDataFrame([], schemas.LITERAL_PROPERTIES)
+    )
+    return OntologyCatalog(tables)
+
+
+def test_names_family(catalog):
+    ids = catalog.get_ids("fixo")
+    assert len(ids) == 40 and "0000001" in ids
+    m = catalog.get_id_name_mapping("fixo")
+    assert m["0000001"] == generator._label(1)
+    inv = catalog.get_name_id_mapping("fixo")
+    assert inv[generator._label(1)] == "0000001"
+    assert catalog.get_name("fixo", "0000002") == generator._label(2)
+    # alt-id upgrade fallback inside get_name (api/names.py:99-109)
+    assert catalog.get_name("fixo", "8000001") == generator._label(1)
+    assert catalog.get_definition("fixo", "0000003").startswith("definition of")
+    obs = catalog.get_obsolete("fixo")
+    assert "0000017" in obs and "0000001" not in obs
+
+
+def test_synonyms_and_alts(catalog):
+    syn = catalog.get_id_synonyms_mapping("fixo")
+    assert generator._label(1).upper() in syn["0000001"]
+    alts = catalog.get_id_to_alts("fixo")
+    assert alts["0000001"] == ["8000001"]
+    assert catalog.get_primary_identifier("fixo", "8000001") == "0000001"
+    assert catalog.get_primary_identifier("fixo", "0000002") == "0000002"
+
+
+def test_xrefs_and_relations(catalog):
+    xr = catalog.get_filtered_xrefs("fixo", "fixp")
+    assert xr["0000001"] == "0000001"
+    sssom = catalog.get_mappings_df("fixo")
+    assert sssom.count() > 0
+    rel = catalog.get_relation_mapping("fixo", ("BFO", "0000050"), "fixo")
+    assert rel["0000001"] == "0000002"
+    sp = catalog.get_id_species_mapping("fixo")
+    assert sp["0000004"] == "9606"
+
+
+def test_hierarchy_family(catalog):
+    # parents tree: i → i//4
+    assert catalog.get_ancestors("fixo", "0000016") == {"0000004", "0000001"}
+    assert "0000016" in catalog.get_descendants("fixo", "0000004")
+    assert catalog.get_children("fixo", "0000001") == {
+        "0000004", "0000005", "0000006", "0000007",
+    }
+    assert catalog.has_ancestor("fixo", "0000016", "0000001")
+    assert catalog.is_descendent("fixo", "0000001", "0000016")
+    edges = catalog.get_edges_df("fixo")
+    preds = {r["predicate_curie"] for r in edges.select("predicate_curie")
+             .distinct().collect()}
+    assert "rdfs:subClassOf" in preds and "ZZ:0000001" not in preds
+
+
+def test_grounding_family(catalog):
+    assert catalog.ground("fixo", generator._label(5)) == "fixo:0000005"
+    assert catalog.ground("fixo", generator._label(5).upper()) == "fixo:0000005"
+    assert catalog.ground("fixo", "no such entity at all") is None
+    lm = catalog.get_literal_mappings_df("fixo")
+    assert lm.where("predicate = 'rdfs:label'").count() == 40
