@@ -24,6 +24,30 @@ from .operators import exports, hierarchy
 from .pipeline.kg_build import build_literal_mappings
 
 
+def catalog_from_parquet(spark, root: str) -> "OntologyCatalog":
+    """Load a catalog from a directory of parquet tables (the engine's
+    materialized artifacts — the Iceberg-table analog of the reference's
+    per-artifact TSV cache, utils/path.py:129-152)."""
+    import os
+
+    tables = {}
+    for name in ("terms", "synonyms", "xrefs", "relations", "parents",
+                 "alts", "properties"):
+        path = os.path.join(root, f"{name}.parquet")
+        if os.path.exists(path):
+            tables[name] = spark.read.parquet(path)
+    return OntologyCatalog(tables)
+
+
+def catalog_from_obo(spark, texts: list[tuple[str, str]]) -> "OntologyCatalog":
+    """Parse OBO documents straight into a catalog (the reference's
+    get_ontology → write_default → lookup flow, getters.py:92-216)."""
+    from .sources.obo_reader import parse_obo_files
+
+    tables = parse_obo_files(spark, texts)
+    return OntologyCatalog(tables)
+
+
 class OntologyCatalog:
     def __init__(self, tables: dict[str, DataFrame]):
         self.terms = tables["terms"]

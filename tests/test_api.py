@@ -21,6 +21,19 @@ def catalog(spark):
     return OntologyCatalog(tables)
 
 
+def test_catalog_from_obo(spark):
+    from pyobo_spark.api import catalog_from_obo
+
+    cat = catalog_from_obo(
+        spark,
+        [("chebi", open("/root/reference/tests/resources/test_chebi.obo").read())],
+    )
+    m = cat.get_id_name_mapping("chebi")
+    assert m["24431"] == "chemical entity"
+    assert cat.ground("chebi", "molekulare Entitaet") == "chebi:23367"
+    assert "24431" in cat.get_ancestors("chebi", "24870")
+
+
 def test_names_family(catalog):
     ids = catalog.get_ids("fixo")
     assert len(ids) == 40 and "0000001" in ids
