@@ -117,10 +117,20 @@ def run_kg_pipeline(
     ).distinct()
     triples = mention_triples.unionByName(onto_edges)
 
+    # multimodal leg: non-text spans → media-table skeleton + (stubbed)
+    # feature extraction — the media plumbing runs in the same pipeline
+    from ..operators import multimodal
+
+    media = multimodal.media_from_documents(
+        matcher.explode_spans(tables["documents"])
+    )
+    media_features = multimodal.extract_media_features(media)
+
     return {
         "literal_mappings": lm,
         "mentions": mentions,
         "components": comp,
+        "media_features": media_features,
         "names": exports.names(terms),
         "mappings": xr.select(
             F.concat("subj_prefix", F.lit(":"), "subj_identifier").alias(

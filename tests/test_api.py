@@ -34,6 +34,25 @@ def test_catalog_from_obo(spark):
     assert "24431" in cat.get_ancestors("chebi", "24870")
 
 
+def test_catalog_parquet_roundtrip(spark, tmp_path):
+    """write_partitioned artifacts → catalog_from_parquet → lookups."""
+    from pyobo_spark.api import catalog_from_parquet
+    from pyobo_spark import schemas
+
+    tables = generator.to_spark(spark, generator.generate(n_terms=15, n_docs=2))
+    for name in ("terms", "synonyms", "xrefs", "relations", "parents", "alts"):
+        tables[name].write.mode("overwrite").parquet(
+            str(tmp_path / f"{name}.parquet")
+        )
+    spark.createDataFrame([], schemas.LITERAL_PROPERTIES).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "properties.parquet"))
+    cat = catalog_from_parquet(spark, str(tmp_path))
+    assert cat.get_name("fixo", "0000001") == generator._label(1)
+    assert cat.get_primary_identifier("fixo", "8000001") == "0000001"
+    assert "0000001" in cat.get_ancestors("fixo", "0000004")
+
+
 def test_names_family(catalog):
     ids = catalog.get_ids("fixo")
     assert len(ids) == 40 and "0000001" in ids
