@@ -51,7 +51,7 @@ def main() -> None:
         spark, tables, skip_obsolete=args.skip_obsolete
     )
     for name in ("names", "literal_mappings", "mentions", "components",
-                 "mappings", "parse_lineage", "triples"):
+                 "mappings", "parse_lineage", "media_features", "triples"):
         counter = "prefix" if name in ("names", "literal_mappings") else ()
         runner.stage(
             name,
