@@ -66,6 +66,23 @@ _LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    # (pattern, replacement) — applied in order, all JVM regexp_replace
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\+?\d[\d\s()-]{7,}\d\b", "<PHONE>"),
+)
+
+
+def redact_pii(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex PII redaction (emails, IPs, phone-like numbers) — standard
+    pre-training scrub, pure whole-stage-codegen regexp_replace chain."""
+    out = F.col(text_col)
+    for pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return documents.withColumn("text_redacted", out)
+
+
 def language_id(documents: DataFrame) -> DataFrame:
     """(doc_id, lang_pred, lang_score) — n-gram profile overlap, Arrow
     batched."""

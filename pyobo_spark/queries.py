@@ -1125,6 +1125,51 @@ FROM documents
 """
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over a corpus with deterministically planted PII
+    (every 3rd doc gets an email, every 7th an IP)."""
+    docs = tp.load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" contact user"),
+                     F.col("doc_id").cast("string"), F.lit("@example.com")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" from 10.0.0."),
+                     (F.col("doc_id") % 255).cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = textstats.redact_pii(planted)
+    return out.select("doc_id", "text_redacted")
+
+
+SQL_PII_SCRUB = r"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                          '@example.com')
+              WHEN doc_id % 7 = 0
+              THEN concat(text, ' from 10.0.0.', CAST(doc_id % 255 AS VARCHAR))
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+    '\b\+?\d[\d\s()-]{7,}\d\b', '<PHONE>', 'g') AS text_redacted
+FROM planted
+"""
+
+
 def q_sssom_with_justification(spark, sf_dir):
     """SSSOM mapping rows with mapping_justification derived from the
     predicate family (struct_utils.py:800-818: xrefs are unspecified
@@ -1426,6 +1471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_corpus": q_clean_corpus,
     "mention_canonicalized": q_mention_canonicalized,
     "token_counts_regex": q_token_counts_regex,
+    "pii_scrub": q_pii_scrub,
     "sssom_with_justification": q_sssom_with_justification,
     "typedefs": q_typedefs,
     "references": q_references,
@@ -1492,6 +1538,7 @@ ORACLES: dict[str, str] = {
     "clean_corpus": SQL_CLEAN_CORPUS,
     "mention_canonicalized": SQL_MENTION_CANONICALIZED,
     "token_counts_regex": SQL_TOKEN_COUNTS_REGEX,
+    "pii_scrub": SQL_PII_SCRUB,
     "sssom_with_justification": SQL_SSSOM_WITH_JUSTIFICATION,
     "typedefs": SQL_TYPEDEFS,
     "references": SQL_REFERENCES,
