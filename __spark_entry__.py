@@ -30,10 +30,10 @@ def entry(spark: SparkSession) -> DataFrame:
     from pyspark.sql import functions as F
 
     from pyobo_spark.grounding import matcher
-    from pyobo_spark.grounding.dictionary import build_automaton
+    from pyobo_spark.grounding.dictionary import broadcast_matcher, build_matcher
 
-    ac = build_automaton(Q.MENTION_DICT)
-    bc = spark.sparkContext.broadcast(ac)
+    ac = build_matcher(Q.MENTION_DICT)
+    bc = broadcast_matcher(spark, ac)
     raw = matcher.match_text_spans(Q._docs_as_spans(spark, sf_dir), bc)
     best = matcher.best_match(raw)
     mention_triples = best.select(

@@ -287,8 +287,8 @@ class OntologyCatalog:
             entries = _dict.dictionary_entries(
                 self.get_literal_mappings_df(prefix, skip_obsolete)
             )
-            self._grounder_bc = self._spark.sparkContext.broadcast(
-                _dict.build_matcher(entries)
+            self._grounder_bc = _dict.broadcast_matcher(
+                self._spark, _dict.build_matcher(entries)
             )
         return self._grounder_bc
 

@@ -166,6 +166,26 @@ def build_matcher(entries: list[tuple[str, str, str]]) -> HybridMatcher:
     return m
 
 
+class _ClosureBox:
+    """Broadcast-compatible wrapper (.value) for environments without a
+    SparkContext (Spark Connect): the object rides in the UDF closure
+    instead — same executor-side API, pickled per task batch instead of
+    torrent-broadcast once. Correctness identical; use real broadcast
+    when available."""
+
+    def __init__(self, value):
+        self.value = value
+
+
+def broadcast_matcher(spark, matcher_obj):
+    """Broadcast the matcher if the session has a SparkContext; fall back
+    to closure capture under Spark Connect."""
+    try:
+        return spark.sparkContext.broadcast(matcher_obj)
+    except Exception:  # noqa: BLE001 — Connect: no sparkContext
+        return _ClosureBox(matcher_obj)
+
+
 def dictionary_entries(
     literal_mappings_df, skip_obsolete_df=None
 ) -> list[tuple[str, str, str]]:

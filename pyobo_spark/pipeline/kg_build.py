@@ -51,8 +51,8 @@ def run_kg_pipeline(
 
     obsolete = exports.obsoletes(terms) if skip_obsolete else None
     entries = dictionary.dictionary_entries(lm, skip_obsolete_df=obsolete)
-    ac = dictionary.build_automaton(entries)
-    bc = spark.sparkContext.broadcast(ac)
+    ac = dictionary.build_matcher(entries)
+    bc = dictionary.broadcast_matcher(spark, ac)
 
     mentions = matcher.detect_mentions(tables["documents"], bc)
 

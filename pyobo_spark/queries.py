@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .grounding import matcher
-from .grounding.dictionary import build_matcher
+from .grounding.dictionary import broadcast_matcher, build_matcher
 from .operators import dedup, exports, hierarchy, similarity, textstats
 from .operators.components import connected_components
 from .sources import tpch_adapter as tp
@@ -266,7 +266,7 @@ SELECT curie, min(curie) OVER (PARTITION BY g) AS component FROM members
 
 def q_mention_counts(spark, sf_dir):
     ac = build_matcher(MENTION_DICT)
-    bc = spark.sparkContext.broadcast(ac)
+    bc = broadcast_matcher(spark, ac)
     out = matcher.match_mention_counts(_docs_as_spans(spark, sf_dir), bc)
     return out.select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "curie", "n_mentions"
@@ -286,7 +286,7 @@ GROUP BY t.doc_id, d.curie
 
 def q_mention_best(spark, sf_dir):
     ac = build_matcher(MENTION_DICT)
-    bc = spark.sparkContext.broadcast(ac)
+    bc = broadcast_matcher(spark, ac)
     raw = matcher.match_text_spans(_docs_as_spans(spark, sf_dir), bc)
     best = matcher.best_match(raw)
     return best.select(
@@ -1071,7 +1071,7 @@ def q_mention_canonicalized(spark, sf_dir):
     """End-to-end north-rule link path with an oracle: detect mentions →
     alt-id upgrade (broadcast) → canonical mention counts per curie."""
     ac = build_matcher(CANON_DICT)
-    bc = spark.sparkContext.broadcast(ac)
+    bc = broadcast_matcher(spark, ac)
     counts = matcher.match_mention_counts(_docs_as_spans(spark, sf_dir), bc)
     alt_map = spark.createDataFrame(
         [("fixo:8000009", "fixo:0000009")], "alt_curie string, primary string"
@@ -1397,7 +1397,7 @@ def q_span_pipeline(spark, sf_dir):
     )
     corpus = docs.select(F.col("doc_id").cast("string").alias("doc_id"),
                          spans.alias("spans"))
-    bc = spark.sparkContext.broadcast(build_matcher(MENTION_DICT))
+    bc = broadcast_matcher(spark, build_matcher(MENTION_DICT))
     return matcher.detect_mentions(corpus, bc)
 
 
