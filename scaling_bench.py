@@ -1,7 +1,8 @@
 """Scaling-efficiency evidence for the north rule (≥0.8 between N and 4N
 executors). No real cluster exists in this sandbox, so per BASELINE.md we
 run the SAME job on the SAME input at two local parallelism levels
-(default local[8] vs local[32], shuffle partitions scaled with cores)
+(default local[4] vs local[16] — the largest honest 4x pair on this
+host, see BASELINE.md; shuffle partitions scaled with cores)
 in separate JVMs, and report throughput + efficiency:
 
   efficiency = throughput(4N) / (4 * throughput(N))
@@ -11,7 +12,7 @@ dedup_exact + doc_fingerprint over a corpus replicated REPLICATE× so the
 work is large enough to amortize fixed JVM/stage overhead — scaling
 efficiency is meaningless on sub-second stages).
 
-Usage: python scaling_bench.py [--n 8] [--fourn 32] [--sf-dir DIR]
+Usage: python scaling_bench.py [--n 4] [--fourn 16] [--sf-dir DIR]
 Child mode (internal): python scaling_bench.py --child CPUS SF_DIR REPLICATE
 """
 
@@ -113,8 +114,10 @@ def main() -> None:
         return
 
     args = dict(zip(sys.argv[1::2], sys.argv[2::2]))
-    n = int(args.get("--n", "8"))
-    fourn = int(args.get("--fourn", "32"))
+    # default pair 4->16: the host oversubscribes 32 vCPUs to ~20-25
+    # effective cores (see BASELINE.md), so 8->32 cannot show a 4x
+    n = int(args.get("--n", "4"))
+    fourn = int(args.get("--fourn", "16"))
     rounds = int(args.get("--rounds", "2"))
     sf_dir = args.get("--sf-dir", os.environ.get("SPARK_GRAFT_SF_DIR",
                                                  "/root/testdata/sf0.1"))
