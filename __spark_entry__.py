@@ -15,11 +15,47 @@ import os
 import sys
 from collections.abc import Callable
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
 
 from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 
 from pyobo_spark import queries as Q  # noqa: E402
+
+_PYFILES_SENT: set[int] = set()
+
+
+def _ensure_executors_can_import(spark: SparkSession) -> None:
+    """Executor Python workers import pyobo_spark from the UDF closures
+    (pickled by reference). If the driver process was launched outside
+    /root/repo, workers won't have it on sys.path — ship the package zip
+    via addPyFile (idempotent per session)."""
+    key = id(spark)
+    if key in _PYFILES_SENT:
+        return
+    try:
+        zip_path = os.path.join(_REPO, "dist", "pyobo_spark.zip")
+        if not os.path.exists(zip_path):
+            import pathlib
+            import zipfile
+
+            os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+            root = pathlib.Path(_REPO) / "pyobo_spark"
+            with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+                for p in sorted(root.rglob("*.py")):
+                    z.write(p, p.relative_to(pathlib.Path(_REPO)))
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 — Connect session or already added
+        pass
+    _PYFILES_SENT.add(key)
+
+
+def _wrap(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_executors_can_import(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,6 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
     mention detection (broadcast Aho-Corasick over documents) → best-match
     → mention triples ∪ typedef-filtered ontology edges."""
     sf_dir = "/root/testdata/sf0.001"
+    _ensure_executors_can_import(spark)
     from pyspark.sql import functions as F
 
     from pyobo_spark.grounding import matcher
@@ -46,7 +83,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(Q.QUERIES)
+    return {name: _wrap(fn) for name, fn in Q.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
