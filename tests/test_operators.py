@@ -54,6 +54,19 @@ def test_lsh_topk_recall_vs_bruteforce(spark, sf_dir):
     assert len(bf_pairs & lsh_pairs) >= len(bf_pairs) * 0.3
 
 
+def test_hyperplane_signatures_deterministic(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    a = {r["vec_id"]: r["bucket"]
+         for r in similarity.hyperplane_signatures(emb, n_bits=6).collect()}
+    b = {r["vec_id"]: r["bucket"]
+         for r in similarity.hyperplane_signatures(emb, n_bits=6).collect()}
+    assert a == b  # same seed → same buckets
+    assert all(0 <= v < 64 for v in a.values())
+    c = {r["vec_id"]: r["bucket"]
+         for r in similarity.hyperplane_signatures(emb, n_bits=6, seed=7).collect()}
+    assert a != c  # different seed → different planes
+
+
 def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 5)
