@@ -56,19 +56,27 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     # event_id as tiebreaker → deterministic under duplicate timestamps
     w_user = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts may be TIMESTAMP_NTZ (parquet): go via timestamp → epoch seconds
-    # (session tz is UTC), ANSI-safe
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    gap = epoch - F.lag(epoch).over(w_user)
+    # Gap must be timezone-free AND microsecond-exact: ts is
+    # TIMESTAMP_NTZ in parquet, and an NTZ→LTZ cast would interpret the
+    # value in the *session* timezone (wrong sessions across DST in a
+    # non-UTC driver session — CORRECTNESS_r01 failure). timestampdiff
+    # on the NTZ values directly is tz-free, and MICROSECOND keeps the
+    # sub-second precision present in the data (a seconds-truncating
+    # cast misclassified gaps within 1s of the threshold).
+    prev_ts = F.lag("ts").over(w_user)
+    with_prev = events.withColumn("_prev_ts", prev_ts)
+    gap_us = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
     new_sess = F.when(
-        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+        F.col("_prev_ts").isNull()
+        | (gap_us > gap_minutes * 60 * 1_000_000),
+        F.lit(1),
     ).otherwise(F.lit(0))
     sess_id = F.sum(new_sess).over(
         W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
             W.unboundedPreceding, W.currentRow
         )
     )
-    tagged = events.withColumn("session_seq", sess_id)
+    tagged = with_prev.withColumn("session_seq", sess_id).drop("_prev_ts")
     return (
         tagged.groupBy("user_id", "session_seq")
         .agg(
