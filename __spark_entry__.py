@@ -34,15 +34,20 @@ def _ensure_executors_can_import(spark: SparkSession) -> None:
     if key in _PYFILES_SENT:
         return
     try:
-        zip_path = os.path.join(_REPO, "dist", "pyobo_spark.zip")
-        if not os.path.exists(zip_path):
-            import pathlib
-            import zipfile
+        import pathlib
+        import zipfile
 
+        zip_path = os.path.join(_REPO, "dist", "pyobo_spark.zip")
+        root = pathlib.Path(_REPO) / "pyobo_spark"
+        sources = sorted(root.rglob("*.py"))
+        newest_src = max(p.stat().st_mtime for p in sources)
+        # rebuild when any source is newer — a stale zip would ship old
+        # code to executor Python workers
+        if (not os.path.exists(zip_path)
+                or os.path.getmtime(zip_path) < newest_src):
             os.makedirs(os.path.dirname(zip_path), exist_ok=True)
-            root = pathlib.Path(_REPO) / "pyobo_spark"
             with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
-                for p in sorted(root.rglob("*.py")):
+                for p in sources:
                     z.write(p, p.relative_to(pathlib.Path(_REPO)))
         spark.sparkContext.addPyFile(zip_path)
     except Exception:  # noqa: BLE001 — Connect session or already added

@@ -32,7 +32,8 @@ def catalog_from_parquet(spark, root: str) -> "OntologyCatalog":
 
     tables = {}
     for name in ("terms", "synonyms", "xrefs", "relations", "parents",
-                 "alts", "properties"):
+                 "alts", "properties", "typedefs", "replaced_by",
+                 "considers", "intersections", "metadata"):
         path = os.path.join(root, f"{name}.parquet")
         if os.path.exists(path):
             tables[name] = spark.read.parquet(path)
@@ -57,8 +58,13 @@ class OntologyCatalog:
         self.parents = tables.get("parents")
         self.alts = tables.get("alts")
         self.properties = tables.get("properties")
+        self.typedefs = tables.get("typedefs")
+        self.replaced_by = tables.get("replaced_by")
+        self.considers = tables.get("considers")
+        self.intersections = tables.get("intersections")
+        self.metadata = tables.get("metadata")
         self._spark = self.terms.sparkSession
-        self._grounder_bc = None
+        self._grounders: dict[tuple[str, bool], object] = {}
 
     # ---- names (api/names.py) ----
     def get_ids(self, prefix: str) -> set[str]:
@@ -114,22 +120,79 @@ class OntologyCatalog:
         return exports.references(self.terms, prefix)
 
     def get_id_synonyms_mapping(self, prefix: str) -> dict[str, list[str]]:
-        """api/names.py:318-329 — sorted synonym lists."""
-        df = exports.synonyms_grouped(
+        """api/names.py:318-329 — sorted synonym lists (array-valued
+        aggregation: no delimiter round-trip, '|' in synonym text is
+        safe)."""
+        df = exports.synonyms_grouped_list(
             self.synonyms.where(F.col("prefix") == prefix)
         )
-        return {
-            r["identifier"]: r["synonyms"].split("|") if r["synonyms"] else []
-            for r in df.collect()
-        }
+        return {r["identifier"]: list(r["synonyms"]) for r in df.collect()}
+
+    # ---- metadata / versions (api/metadata.py, utils/ver) ----
+    def get_version(self, prefix: str) -> str | None:
+        """api/metadata.py:24-34 / utils/ver — the ontology's
+        data-version header."""
+        if self.metadata is None:
+            return None
+        rows = (
+            self.metadata.where(F.col("prefix") == prefix)
+            .select("version").collect()
+        )
+        return rows[0]["version"] if rows else None
+
+    def get_metadata(self, prefix: str) -> dict | None:
+        """Version + date metadata dict (VersionMetadata shape)."""
+        if self.metadata is None:
+            return None
+        rows = self.metadata.where(F.col("prefix") == prefix).collect()
+        if not rows:
+            return None
+        r = rows[0]
+        return {"prefix": r["prefix"], "version": r["version"],
+                "date": r["date"]}
+
+    # ---- obsolete-upgrade (replaced_by / consider; struct.py:1189-1236
+    #      nodes-export columns, reader replaced_by flow) ----
+    def get_replacements_df(self, prefix: str) -> DataFrame:
+        return self.replaced_by.where(F.col("prefix") == prefix)
+
+    def get_replaced_by(self, prefix: str, identifier: str) -> str | None:
+        """The replacement CURIE for an obsolete term, or None."""
+        if self.replaced_by is None:
+            return None
+        rows = (
+            self.replaced_by.where(
+                (F.col("prefix") == prefix)
+                & (F.col("identifier") == identifier)
+            )
+            .select("replacement_prefix", "replacement_id").collect()
+        )
+        if not rows:
+            return None
+        return f"{rows[0]['replacement_prefix']}:{rows[0]['replacement_id']}"
+
+    def get_considers(self, prefix: str, identifier: str) -> list[str]:
+        """consider: alternatives for an obsolete term (CURIEs)."""
+        if self.considers is None:
+            return []
+        rows = (
+            self.considers.where(
+                (F.col("prefix") == prefix)
+                & (F.col("identifier") == identifier)
+            )
+            .select("consider_prefix", "consider_id").collect()
+        )
+        return sorted(
+            f"{r['consider_prefix']}:{r['consider_id']}" for r in rows
+        )
 
     # ---- alts (api/alts.py) ----
     def get_id_to_alts(self, prefix: str) -> dict[str, list[str]]:
         """api/alts.py:34-47."""
-        df = exports.alts_grouped(self.alts.where(F.col("prefix") == prefix))
-        return {
-            r["identifier"]: r["alt_ids"].split("|") for r in df.collect()
-        }
+        df = exports.alts_grouped_list(
+            self.alts.where(F.col("prefix") == prefix)
+        )
+        return {r["identifier"]: list(r["alt_ids"]) for r in df.collect()}
 
     def get_primary_identifier(self, prefix: str, identifier: str) -> str:
         """api/alts.py:89-105 — alts_to_id.get(id, id)."""
@@ -175,6 +238,26 @@ class OntologyCatalog:
                 ),
             )
             .dropDuplicates()
+        )
+
+    def get_semantic_mappings_df(
+        self,
+        prefix: str,
+        source: str | None = None,
+        version: str | None = None,
+        license: str | None = None,
+    ) -> DataFrame:
+        """Full SSSOM column set (struct.py:2167-2191
+        get_semantic_mappings)."""
+        xr = self.xrefs.where(F.col("prefix") == prefix).select(
+            F.concat("prefix", F.lit(":"), "identifier").alias("subject_id"),
+            F.col("predicate").alias("predicate_id"),
+            F.concat("target_prefix", F.lit(":"), "target_id").alias(
+                "object_id"
+            ),
+        )
+        return exports.semantic_mappings(
+            xr, source=source, version=version, license=license
         )
 
     # ---- relations / species (api/relations.py, api/species.py) ----
@@ -225,35 +308,73 @@ class OntologyCatalog:
             self.parents, self.relations, prefix=prefix, **kw
         )
 
+    @staticmethod
+    def _as_curie(prefix: str, ref: str) -> str:
+        """Accept a bare local id (scoped to `prefix`) or a full CURIE."""
+        return ref if ":" in ref else f"{prefix}:{ref}"
+
+    def get_hierarchy_nodes(
+        self, prefix: str, properties: tuple[str, ...] = ()
+    ) -> DataFrame:
+        """Node set of get_hierarchy with literal property values
+        attached (api/hierarchy.py:106-109)."""
+        props = (
+            self.properties
+            if self.properties is not None
+            else self._spark.createDataFrame(
+                [], "source_curie string, predicate_curie string, value string"
+            )
+        )
+        return hierarchy.hierarchy_nodes(
+            self.terms, props, prefix, property_predicates=properties
+        )
+
     def get_ancestors(self, prefix: str, identifier: str) -> set[str]:
-        clos = hierarchy.ancestors(self.parents)
+        """Returns CURIE strings (reference returns set[Reference],
+        api/hierarchy.py:205-214) — curie-keyed so multi-ontology
+        catalogs with colliding numeric locals can't merge hierarchies."""
+        clos = hierarchy.ancestors(hierarchy.curie_edges(self.parents, prefix))
+        node = self._as_curie(prefix, identifier)
         return {
             r["ancestor"]
-            for r in clos.where(F.col("identifier") == identifier).collect()
+            for r in clos.where(F.col("identifier") == node).collect()
         }
 
     def get_descendants(self, prefix: str, identifier: str) -> set[str]:
-        clos = hierarchy.descendants(self.parents)
+        clos = hierarchy.descendants(
+            hierarchy.curie_edges(self.parents, prefix)
+        )
+        node = self._as_curie(prefix, identifier)
         return {
             r["descendant"]
-            for r in clos.where(F.col("identifier") == identifier).collect()
+            for r in clos.where(F.col("identifier") == node).collect()
         }
 
     def get_children(self, prefix: str, identifier: str) -> set[str]:
+        node = self._as_curie(prefix, identifier)
         return {
             r["identifier"]
-            for r in hierarchy.children(self.parents, identifier).collect()
+            for r in hierarchy.children(
+                hierarchy.curie_edges(self.parents, prefix), node
+            ).collect()
         }
 
     def has_ancestor(self, prefix: str, identifier: str, anc: str) -> bool:
-        return anc in self.get_ancestors(prefix, identifier)
+        return self._as_curie(prefix, anc) in self.get_ancestors(
+            prefix, identifier
+        )
 
     def is_descendent(self, prefix: str, identifier: str, desc: str) -> bool:
         """(sic — the reference spells it 'is_descendent')."""
-        return desc in self.get_descendants(prefix, identifier)
+        return self._as_curie(prefix, desc) in self.get_descendants(
+            prefix, identifier
+        )
 
     def get_subhierarchy(self, prefix: str, root: str) -> DataFrame:
-        return hierarchy.subhierarchy(self.parents, root)
+        return hierarchy.subhierarchy(
+            hierarchy.curie_edges(self.parents, prefix),
+            self._as_curie(prefix, root),
+        )
 
     def get_edges_df(self, prefix: str) -> DataFrame:
         typedefs = self._spark.createDataFrame(
@@ -282,15 +403,19 @@ class OntologyCatalog:
         return lm
 
     def get_grounder(self, prefix: str, skip_obsolete: bool = False):
-        """ner/api.py:30-58 — broadcast hybrid matcher."""
-        if self._grounder_bc is None:
+        """ner/api.py:30-58 — broadcast hybrid matcher. Cached per
+        (prefix, skip_obsolete): a single shared slot would silently
+        reuse the first ontology's dictionary for every other prefix in
+        a multi-ontology catalog."""
+        key = (prefix, skip_obsolete)
+        if key not in self._grounders:
             entries = _dict.dictionary_entries(
                 self.get_literal_mappings_df(prefix, skip_obsolete)
             )
-            self._grounder_bc = _dict.broadcast_matcher(
+            self._grounders[key] = _dict.broadcast_matcher(
                 self._spark, _dict.build_matcher(entries)
             )
-        return self._grounder_bc
+        return self._grounders[key]
 
     def ground(self, prefix: str, text: str) -> str | None:
         """pyobo.ground (ner/normalizer.py:41-62): best match for one

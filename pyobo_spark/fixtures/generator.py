@@ -165,7 +165,10 @@ def generate(n_terms: int = 200, n_docs: int = 1000, seed: int = SEED) -> Fixtur
 
     # ---- is_a parents: 4-level DAG (i → i//4) ----
     for i in range(4, n_terms + 1):
-        fx.parents.append({"child": f"{i:07d}", "parent": f"{i // 4:07d}"})
+        fx.parents.append(
+            {"child_prefix": "fixo", "child": f"{i:07d}",
+             "parent_prefix": "fixo", "parent": f"{i // 4:07d}"}
+        )
 
     # ---- alts ----
     for i in range(1, n_terms + 1, 6):
@@ -253,9 +256,7 @@ def to_spark(spark, fx: Fixtures):
         ]
     )
     rel_schema = schemas.RELATIONS
-    parents_schema = T.StructType(
-        [T.StructField("child", T.StringType()), T.StructField("parent", T.StringType())]
-    )
+    parents_schema = schemas.PARENTS
     alts_schema = schemas.ALTS
     docs_schema = schemas.DOCUMENTS
     exp_mentions_schema = T.StructType(

@@ -135,9 +135,12 @@ def minhash_near_duplicates(
     signature-level Jaccard estimate filter. (doc_a, doc_b, est_jaccard)."""
     rows_per_band = n_perm // n_bands
     spark = documents.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if documents.rdd.getNumPartitions() < par:
-        documents = documents.repartition(par)  # small inputs arrive 1-2 files
+    # small inputs arrive as 1-2 parquet files; spread the Arrow-batch
+    # signature stage across the configured reducer count. Conf-driven
+    # (no .rdd probe: that breaks under Spark Connect and forces an
+    # extra analysis of the plan).
+    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    documents = documents.repartition(par)
     sigs = minhash_signatures(documents, n_perm=n_perm)
     cands = minhash_lsh_candidates(sigs, n_bands=n_bands, rows_per_band=rows_per_band)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
@@ -159,31 +162,34 @@ def minhash_near_duplicates(
 
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     """64-bit SimHash over tokens: (doc_id, simhash). Duplicate clusters =
-    equal fingerprints (extendable to banded hamming buckets)."""
+    equal fingerprints (extendable to banded hamming buckets).
+
+    Same JVM/numpy split as minhash_signatures: per-token hashing runs
+    JVM-side (codegen'd xxhash64 — the old per-byte Python FNV loop was
+    the slowest inner loop in the repo at corpus scale), the 64-bit
+    majority vote is one vectorized numpy pass in the Arrow batch."""
+    tok_hashes = F.expr(
+        "transform(filter(split(text, '\\\\s+'), t -> t != ''),"
+        " t -> xxhash64(t))"
+    )
+    hashed = documents.select("doc_id", tok_hashes.alias("tok_hashes"))
+    bit_idx = np.arange(64, dtype=np.uint64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for text in pdf["text"].astype(object):
-                tokens = (text or "").split()
-                if not tokens:
+            for hs_list in pdf["tok_hashes"]:
+                if hs_list is None or len(hs_list) == 0:
                     out.append(0)
                     continue
-                hs = np.empty(len(tokens), dtype=np.uint64)
-                for j, tok in enumerate(tokens):
-                    h = np.uint64(0xCBF29CE484222325)
-                    for byte in tok.encode("utf-8"):
-                        h = np.uint64((int(h) ^ byte) * 0x100000001B3 & _MASK64)
-                    hs[j] = h
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                    np.int64
-                )
+                hs = np.asarray(hs_list, dtype=np.int64).astype(np.uint64)
+                bits = ((hs[:, None] >> bit_idx) & 1).astype(np.int64)
                 v = (2 * bits - 1).sum(axis=0)
-                fp = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                fp = int(((v > 0).astype(np.uint64) << bit_idx).sum())
                 out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return hashed.mapInPandas(
         run,
         schema=T.StructType(
             [

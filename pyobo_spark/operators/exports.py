@@ -116,6 +116,67 @@ def synonyms_grouped(literal_mappings: DataFrame) -> DataFrame:
     )
 
 
+def semantic_mappings(
+    xrefs: DataFrame,
+    source: str | None = None,
+    version: str | None = None,
+    license: str | None = None,
+) -> DataFrame:
+    """Full SSSOM SemanticMapping column set (struct.py:2167-2191):
+    subject_type is owl:Class for Term stanzas; mapping_justification is
+    predicate-derived (xrefs → semapv:UnspecifiedMatching, curated
+    equivalences → semapv:ManualMappingCuration); confidence/contributor
+    come from mapping context annotations (absent on plain xrefs → NULL);
+    source/version/license are ontology-level metadata stamped onto every
+    row. Pure projection over the deduped xref scan — no extra shuffle
+    beyond the dedup."""
+    just = (
+        F.when(
+            F.col("predicate_id") == "oboInOwl:hasDbXref",
+            "semapv:UnspecifiedMatching",
+        )
+        .otherwise("semapv:ManualMappingCuration")
+        .alias("mapping_justification")
+    )
+    lit_or_null = lambda v: (  # noqa: E731
+        F.lit(v) if v is not None else F.lit(None).cast("string")
+    )
+    return (
+        xrefs.select("subject_id", "predicate_id", "object_id")
+        .dropDuplicates()
+        .select(
+            "subject_id",
+            F.lit("owl:Class").alias("subject_type"),
+            "predicate_id",
+            "object_id",
+            just,
+            F.lit(None).cast("double").alias("confidence"),
+            F.lit(None).cast("string").alias("contributor"),
+            lit_or_null(source).alias("mapping_source"),
+            lit_or_null(source).alias("subject_source"),
+            lit_or_null(version).alias("subject_source_version"),
+            lit_or_null(license).alias("license"),
+        )
+    )
+
+
+def synonyms_grouped_list(literal_mappings: DataFrame) -> DataFrame:
+    """Array-valued variant of synonyms_grouped: id → sorted
+    array<string> of synonyms. The joined-string form is kept only for
+    cross-engine comparison; API callers must use this one — a synonym
+    containing '|' would be split into bogus entries on round-trip."""
+    return literal_mappings.groupBy("prefix", "identifier").agg(
+        F.sort_array(F.collect_list("text")).alias("synonyms")
+    )
+
+
+def alts_grouped_list(alts: DataFrame) -> DataFrame:
+    """Array-valued variant of alts_grouped (see synonyms_grouped_list)."""
+    return alts.groupBy("prefix", "identifier").agg(
+        F.sort_array(F.collect_list("alt_id")).alias("alt_ids")
+    )
+
+
 def sssom_mappings(xrefs: DataFrame) -> DataFrame:
     """get_mappings: union of match-predicate families, sorted de-dup
     (struct_utils.py:800-818; predicates vocabulary.py:132-150)."""
@@ -149,10 +210,10 @@ def edges(relations_ok: DataFrame, parents: DataFrame, prefix: str) -> DataFrame
             "object_curie"
         ),
     )
-    isa_edges = parents.select(
-        F.concat(F.lit(prefix + ":"), F.col("child")).alias("subject_curie"),
+    isa_edges = parents.where(F.col("child_prefix") == prefix).select(
+        F.concat("child_prefix", F.lit(":"), "child").alias("subject_curie"),
         F.lit("rdfs:subClassOf").alias("predicate_curie"),
-        F.concat(F.lit(prefix + ":"), F.col("parent")).alias("object_curie"),
+        F.concat("parent_prefix", F.lit(":"), "parent").alias("object_curie"),
     )
     return rel_edges.unionByName(isa_edges)
 

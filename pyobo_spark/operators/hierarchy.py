@@ -32,9 +32,9 @@ def hierarchy_edges(
     predicates (e.g. has_part reversed to part-of direction, has_member
     reversed to member_of). Returns (child_curie, parent_curie,
     predicate_curie)."""
-    isa = parents.select(
-        F.concat(F.lit(prefix + ":"), F.col("child")).alias("child_curie"),
-        F.concat(F.lit(prefix + ":"), F.col("parent")).alias("parent_curie"),
+    isa = parents.where(F.col("child_prefix") == prefix).select(
+        F.concat("child_prefix", F.lit(":"), "child").alias("child_curie"),
+        F.concat("parent_prefix", F.lit(":"), "parent").alias("parent_curie"),
         F.lit("rdfs:subClassOf").alias("predicate_curie"),
     )
     out = isa
@@ -61,6 +61,23 @@ def hierarchy_edges(
         )
         out = out.unionByName(rev)
     return out.distinct()
+
+
+def curie_edges(parents: DataFrame, prefix: str | None = None) -> DataFrame:
+    """Collision-proof (child, parent) edge keys: full CURIEs built from
+    the prefixed parents schema. In a multi-ontology catalog bare numeric
+    locals collide across ontologies; the reference avoids this by keying
+    its hierarchy graph on Reference objects (api/hierarchy.py:43-125).
+    `prefix` restricts to edges whose child belongs to that ontology
+    (foreign parents stay as leaves, as in the reference's per-prefix
+    graph)."""
+    e = parents if prefix is None else parents.where(
+        F.col("child_prefix") == prefix
+    )
+    return e.select(
+        F.concat("child_prefix", F.lit(":"), "child").alias("child"),
+        F.concat("parent_prefix", F.lit(":"), "parent").alias("parent"),
+    )
 
 
 def ancestors(edges: DataFrame, max_iter: int = 50) -> DataFrame:
@@ -144,3 +161,32 @@ def subhierarchy(edges: DataFrame, root: str) -> DataFrame:
         members.withColumnRenamed("node", "parent"), on="parent", how="left_semi"
     )
     return e.select("child", "parent")
+
+
+def hierarchy_nodes(
+    terms: DataFrame,
+    properties: DataFrame,
+    prefix: str,
+    property_predicates: tuple[str, ...] = (),
+) -> DataFrame:
+    """get_hierarchy's node set with literal property values attached
+    (api/hierarchy.py:106-109: `rv.nodes[s][p] = op.value` for selected
+    property predicates — e.g. SMILES strings on the ChEBI tree).
+
+    Relational encoding of the nx node-attribute dict: one row per
+    (node, predicate, value); nodes without any selected property keep a
+    single row with NULL predicate/value (they are still graph nodes,
+    api/hierarchy.py:99 add_nodes_from). Plan: property side is filtered
+    BEFORE the join (predicate pushdown under the shuffle), join key is
+    the node curie."""
+    nodes = terms.where(F.col("prefix") == prefix).select(
+        F.concat("prefix", F.lit(":"), "identifier").alias("node_curie")
+    )
+    props = properties.where(
+        F.col("predicate_curie").isin(list(property_predicates))
+    ).select(
+        F.col("source_curie").alias("node_curie"),
+        "predicate_curie",
+        "value",
+    )
+    return nodes.join(props, on="node_curie", how="left")

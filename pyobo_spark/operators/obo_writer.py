@@ -115,9 +115,14 @@ def obo_stanzas(
     )
     lines = lines.unionByName(
         tagged(
-            parents.withColumnRenamed("child", "identifier"),
+            parents.where(F.col("child_prefix") == prefix)
+            .withColumnRenamed("child", "identifier"),
             6,
-            F.concat(F.lit("is_a: " + up + ":"), F.col("parent")),
+            # parent keeps its own prefix (may be foreign via macros)
+            F.concat(
+                F.lit("is_a: "), F.upper(F.col("parent_prefix")),
+                F.lit(":"), F.col("parent"),
+            ),
         )
     )
     rel = relations.where(F.col("prefix") == prefix)

@@ -95,10 +95,13 @@ def run_kg_pipeline(
     )
     comp = components.connected_components(cc_edges)
     comp_map = comp.select(F.col("curie").alias("m_curie"), "component")
+    # NO broadcast hint here: comp_map covers every curie in the xref
+    # graph (~10^7-10^8 rows across all of OBO) — broadcasting it is a
+    # driver/executor-memory risk at scale. A shuffle join on curie is
+    # bounded and AQE will still downgrade to broadcast when the map is
+    # actually small (as in tests).
     mentions = (
-        mentions.join(
-            F.broadcast(comp_map), mentions.curie == comp_map.m_curie, "left"
-        )
+        mentions.join(comp_map, mentions.curie == comp_map.m_curie, "left")
         .withColumn("canonical", F.coalesce("component", "curie"))
         .drop("m_curie", "component")
     )

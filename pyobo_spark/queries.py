@@ -1197,6 +1197,61 @@ FROM xrefs
 """
 
 
+def q_hierarchy_nodes(spark, sf_dir):
+    """Hierarchy node set with literal property values attached
+    (api/hierarchy.py:106-109)."""
+    return hierarchy.hierarchy_nodes(
+        tp.terms(spark, sf_dir),
+        tp.literal_properties(spark, sf_dir),
+        prefix="fixp",
+        property_predicates=("rdfs:comment",),
+    )
+
+
+SQL_HIERARCHY_NODES = f"""
+WITH terms AS ({tp.TERMS_SQL}),
+props AS ({tp.LITERAL_PROPERTIES_SQL})
+SELECT concat(t.prefix, ':', t.identifier) AS node_curie,
+       p.predicate_curie, p.value
+FROM terms t
+LEFT JOIN props p
+  ON p.source_curie = concat(t.prefix, ':', t.identifier)
+ AND p.predicate_curie = 'rdfs:comment'
+"""
+
+
+def q_semantic_mappings(spark, sf_dir):
+    """Full SSSOM SemanticMapping column set (struct.py:2167-2191):
+    predicate-derived justification + ontology-level source/version/
+    license metadata stamped per row; confidence/contributor NULL for
+    plain xrefs."""
+    return exports.semantic_mappings(
+        tp.xrefs(spark, sf_dir),
+        source="https://example.org/fixo.obo",
+        version="2024-01-01",
+        license="CC0-1.0",
+    )
+
+
+SQL_SEMANTIC_MAPPINGS = f"""
+WITH xrefs AS ({tp.XREFS_SQL})
+SELECT DISTINCT subject_id,
+       'owl:Class' AS subject_type,
+       predicate_id,
+       object_id,
+       CASE WHEN predicate_id = 'oboInOwl:hasDbXref'
+            THEN 'semapv:UnspecifiedMatching'
+            ELSE 'semapv:ManualMappingCuration' END AS mapping_justification,
+       CAST(NULL AS DOUBLE) AS confidence,
+       CAST(NULL AS VARCHAR) AS contributor,
+       'https://example.org/fixo.obo' AS mapping_source,
+       'https://example.org/fixo.obo' AS subject_source,
+       '2024-01-01' AS subject_source_version,
+       'CC0-1.0' AS license
+FROM xrefs
+"""
+
+
 def q_typedefs(spark, sf_dir):
     """The typedef dim itself (iterate typedefs, struct.py:1681-1687)."""
     return _typedefs_df(spark).select(
@@ -1474,6 +1529,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts_regex": q_token_counts_regex,
     "pii_scrub": q_pii_scrub,
     "sssom_with_justification": q_sssom_with_justification,
+    "semantic_mappings": q_semantic_mappings,
+    "hierarchy_nodes": q_hierarchy_nodes,
     "typedefs": q_typedefs,
     "references": q_references,
     "alts_grouped": q_alts_grouped,
@@ -1541,6 +1598,8 @@ ORACLES: dict[str, str] = {
     "token_counts_regex": SQL_TOKEN_COUNTS_REGEX,
     "pii_scrub": SQL_PII_SCRUB,
     "sssom_with_justification": SQL_SSSOM_WITH_JUSTIFICATION,
+    "semantic_mappings": SQL_SEMANTIC_MAPPINGS,
+    "hierarchy_nodes": SQL_HIERARCHY_NODES,
     "typedefs": SQL_TYPEDEFS,
     "references": SQL_REFERENCES,
     "alts_grouped": SQL_ALTS_GROUPED,

@@ -63,6 +63,26 @@ ALTS = T.StructType(
     ]
 )
 
+PARENTS = T.StructType(  # is_a edges; parent may be a foreign reference
+    [                     # (reader.py:716 append_parent keeps the full ref)
+        T.StructField("child_prefix", T.StringType(), False),
+        T.StructField("child", T.StringType(), False),
+        T.StructField("parent_prefix", T.StringType(), False),
+        T.StructField("parent", T.StringType(), False),
+    ]
+)
+
+INTERSECTIONS = T.StructType(  # genus-differentia intersection_of legs
+    [                          # (struct.py append_intersection_of; a row with
+        T.StructField("prefix", T.StringType(), False),      # NULL relation_*
+        T.StructField("identifier", T.StringType(), False),  # is the genus)
+        T.StructField("relation_prefix", T.StringType()),
+        T.StructField("relation_id", T.StringType()),
+        T.StructField("target_prefix", T.StringType(), False),
+        T.StructField("target_id", T.StringType(), False),
+    ]
+)
+
 RELATIONS = T.StructType(
     [
         T.StructField("prefix", T.StringType(), False),
@@ -100,6 +120,22 @@ MAPPINGS = T.StructType(  # SSSOM slice; struct.py:2167-2201
         T.StructField("predicate_id", T.StringType(), False),
         T.StructField("object_id", T.StringType(), False),
         T.StructField("mapping_justification", T.StringType()),
+    ]
+)
+
+SEMANTIC_MAPPINGS = T.StructType(  # full SemanticMapping column set
+    [                              # (struct.py:2167-2191 get_semantic_mappings)
+        T.StructField("subject_id", T.StringType(), False),
+        T.StructField("subject_type", T.StringType()),
+        T.StructField("predicate_id", T.StringType(), False),
+        T.StructField("object_id", T.StringType(), False),
+        T.StructField("mapping_justification", T.StringType()),
+        T.StructField("confidence", T.DoubleType()),
+        T.StructField("contributor", T.StringType()),
+        T.StructField("mapping_source", T.StringType()),
+        T.StructField("subject_source", T.StringType()),
+        T.StructField("subject_source_version", T.StringType()),
+        T.StructField("license", T.StringType()),
     ]
 )
 

@@ -88,7 +88,9 @@ def read_nomenclature_csv(
         out["parents"] = (
             df.where(F.col(spec.parent).isNotNull())
             .select(
+                F.lit(spec.prefix).alias("child_prefix"),
                 ident.alias("child"),
+                F.lit(spec.prefix).alias("parent_prefix"),
                 F.col(spec.parent).cast("string").alias("parent"),
             )
         )

@@ -93,7 +93,9 @@ def skos_to_tables(triples: DataFrame, uri_prefix: str, prefix: str) -> dict:
     parents = ok.where(
         in_scheme & (F.col("predicate") == SKOS + "broader")
     ).select(
+        F.lit(prefix).alias("child_prefix"),
         strip(F.col("subject")).alias("child"),
+        F.lit(prefix).alias("parent_prefix"),
         strip(F.col("object")).alias("parent"),
     )
     return {"names": names, "synonyms": synonyms, "parents": parents}

@@ -40,6 +40,16 @@ _SYN_RE = re.compile(
 _DEF_RE = re.compile(r'^"(?P<text>(?:[^"\\]|\\.)*)"(?:\s+\[(?P<prov>[^\]]*)\])?')
 _UNESCAPE = re.compile(r"\\(.)")
 
+_TYPEDEF_ONLY_TAGS = frozenset(
+    {  # OBO 1.4 typedef-only tags (struct.py:2254-2318)
+        "domain", "range", "inverse_of", "transitive_over",
+        "holds_over_chain", "is_transitive", "is_symmetric",
+        "is_anti_symmetric", "is_cyclic", "is_reflexive", "is_functional",
+        "is_inverse_functional", "is_metadata_tag", "is_class_level",
+        "comment",
+    }
+)
+
 SPEC_TO_PREDICATE = {  # struct.py:157-160
     "EXACT": "oboInOwl:hasExactSynonym",
     "BROAD": "oboInOwl:hasBroadSynonym",
@@ -92,6 +102,27 @@ def _split_curie(s: str) -> tuple[str, str]:
     return "", s
 
 
+def _strip_comment(line: str) -> str:
+    """Drop an OBO trailing comment: only an unescaped '!' OUTSIDE
+    double-quoted segments starts a comment (spec §2.2) — a naive
+    split(' !') truncates defs/synonyms whose quoted text contains ' !'."""
+    if "!" not in line:
+        return line
+    in_quote = False
+    i, n = 0, len(line)
+    while i < n:
+        c = line[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == '"':
+            in_quote = not in_quote
+        elif c == "!" and not in_quote:
+            return line[:i]
+        i += 1
+    return line
+
+
 def _clean_def(text: str) -> str:
     """Reference definition cleanup (struct.py:1635-1638)."""
     text = _unescape(text).replace("\n", " ").replace("\t", " ")
@@ -115,9 +146,48 @@ def parse_obo_text(text: str) -> ParsedOntology:
         ident = cur["id"]
         prefix, local = _split_curie(ident)
         if stanza_type == "Typedef":
+            td = cur.get("_td", {})
+
+            def _ref(v: str | None) -> str | None:
+                if v is None:
+                    return None
+                p, i = _split_curie(v)
+                return f"{p}:{i}" if p else v
+
+            def _bool(v: str | None) -> bool | None:
+                return None if v is None else v == "true"
+
             po.typedefs.append(
-                {"prefix": prefix or po.prefix, "identifier": local,
-                 "name": cur.get("name")}
+                {
+                    "prefix": prefix or po.prefix,
+                    "identifier": local,
+                    "name": cur.get("name"),
+                    "namespace": cur.get("namespace"),
+                    "definition": cur.get("def"),
+                    "comment": td.get("comment"),
+                    "domain": _ref(td.get("domain")),
+                    "range": _ref(td.get("range")),
+                    "inverse_of": _ref(td.get("inverse_of")),
+                    "transitive_over": _ref(td.get("transitive_over")),
+                    "holds_over_chain": [
+                        [_ref(r) for r in chain.split()]
+                        for chain in td.get("holds_over_chain", [])
+                    ],
+                    "is_transitive": _bool(td.get("is_transitive")),
+                    "is_symmetric": _bool(td.get("is_symmetric")),
+                    "is_anti_symmetric": _bool(td.get("is_anti_symmetric")),
+                    "is_cyclic": _bool(td.get("is_cyclic")),
+                    "is_reflexive": _bool(td.get("is_reflexive")),
+                    "is_functional": _bool(td.get("is_functional")),
+                    "is_inverse_functional": _bool(
+                        td.get("is_inverse_functional")
+                    ),
+                    "is_metadata_tag": _bool(td.get("is_metadata_tag")),
+                    "is_class_level": _bool(td.get("is_class_level")),
+                    "is_obsolete": cur.get("is_obsolete") == "true"
+                    if "is_obsolete" in cur
+                    else None,
+                }
             )
         elif stanza_type == "Term":
             po.terms.append(
@@ -134,7 +204,7 @@ def parse_obo_text(text: str) -> ParsedOntology:
         cur = {}
 
     for raw_line in text.splitlines():
-        line = raw_line.split(" !", 1)[0].strip() if " !" in raw_line else raw_line.strip()
+        line = _strip_comment(raw_line).strip()
         if not line:
             continue
         if line.startswith("["):
@@ -152,8 +222,10 @@ def parse_obo_text(text: str) -> ParsedOntology:
             elif tag == "data-version":
                 po.version = value
             elif tag.startswith("treat-xrefs-as-"):
+                # keep the raw line: genus-differentia / relationship
+                # values carry predicate+filler CURIEs whose case matters
                 kind = tag[len("treat-xrefs-as-"):]
-                po.macros.setdefault(kind, []).append(value.lower())
+                po.macros.setdefault(kind, []).append(value)
             elif tag == "date":
                 # OBO header date format %d:%m:%Y %H:%M (constants.py:115,
                 # reader.py:808) → ISO-8601
@@ -169,6 +241,17 @@ def parse_obo_text(text: str) -> ParsedOntology:
                 parts = value.split(None, 2)
                 if len(parts) >= 2:
                     po.idspaces[parts[0]] = parts[1]
+            continue
+
+        if stanza_type == "Typedef" and tag in _TYPEDEF_ONLY_TAGS:
+            # typedef-only OBO 1.4 fields (struct.py:2254-2318); kept off
+            # the Term handlers so e.g. a typedef's is_a/comment never
+            # leaks into the term parents/properties tables
+            td = cur.setdefault("_td", {})
+            if tag == "holds_over_chain":
+                td.setdefault(tag, []).append(value)
+            else:
+                td[tag] = value
             continue
 
         if tag == "id":
@@ -213,9 +296,15 @@ def parse_obo_text(text: str) -> ParsedOntology:
                 }
             )
         elif tag == "is_a" and "id" in cur:
-            _, local = _split_curie(cur["id"])
-            _, tlocal = _split_curie(value)
-            po.parents.append({"child": local, "parent": tlocal})
+            prefix, local = _split_curie(cur["id"])
+            tp_, tlocal = _split_curie(value)
+            # keep the parent's own prefix (reader.py:716 append_parent
+            # keeps the full reference) — foreign is_a targets must not be
+            # re-stamped with the ontology prefix downstream
+            po.parents.append(
+                {"child_prefix": prefix.lower(), "child": local,
+                 "parent_prefix": (tp_ or prefix).lower(), "parent": tlocal}
+            )
         elif tag == "alt_id" and "id" in cur:
             prefix, local = _split_curie(cur["id"])
             _, alocal = _split_curie(value)
@@ -326,19 +415,70 @@ def parse_obo_text(text: str) -> ParsedOntology:
                 )
     flush()
 
-    # treat-xrefs-as-* macros (reader.py:621-724): upgrade xrefs whose
-    # target prefix is listed into equivalence/relation rows.
+    # treat-xrefs-as-* macros (reader.py:621-724, MacroConfig +
+    # _handle_xref): upgrade xrefs whose target prefix is listed. The
+    # reference checks the four kinds in this order: equivalent,
+    # genus-differentia, relationship, is_a.
     if po.macros:
-        equiv = set(po.macros.get("equivalent", []))
-        isa = set(po.macros.get("is_a", []))
+        equiv = {p.lower() for p in po.macros.get("equivalent", [])}
+        isa = {p.lower() for p in po.macros.get("is_a", [])}
+        def _ground_pred(pred: str) -> tuple[str, str]:
+            """Split a predicate CURIE; ground unqualified labels
+            ('part_of') to their typedef CURIE, as the reference's
+            _obo_parse_identifier does for macro predicates."""
+            rp, ri = _split_curie(pred)
+            if not rp:
+                from ..normalize.registry import ground_relation
+
+                hit = ground_relation(pred)
+                if hit:
+                    return hit
+            return rp, ri
+
+        # 'PREFIX pred TARGET' → prefix ↦ (pred_ref, target_curie)
+        # (reader.py:639-665; malformed lines are skipped, as in plana)
+        genus_diff: dict[str, tuple[tuple[str, str], str]] = {}
+        for line in po.macros.get("genus-differentia", []):
+            parts = line.split()
+            if len(parts) == 3:
+                genus_diff[parts[0].lower()] = (_ground_pred(parts[1]), parts[2])
+        # 'PREFIX pred' → prefix ↦ pred_ref (reader.py:667-685)
+        rel_macro: dict[str, tuple[str, str]] = {}
+        for line in po.macros.get("relationship", []):
+            parts = line.split()
+            if len(parts) == 2:
+                rel_macro[parts[0].lower()] = _ground_pred(parts[1])
         remaining = []
         for x in po.xrefs:
-            if x["target_prefix"] in equiv:
-                x = dict(x, predicate="owl:equivalentClass")
-                remaining.append(x)
-            elif x["target_prefix"] in isa:
+            txp = x["target_prefix"]
+            if txp in equiv:
+                remaining.append(dict(x, predicate="owl:equivalentClass"))
+            elif txp in genus_diff:
+                # term.append_intersection_of(xref)
+                #     .append_intersection_of(pred, target)
+                (rp, ri), target = genus_diff[txp]
+                gtp, gti = _split_curie(target)
+                po.intersections.append(
+                    {"prefix": x["prefix"], "identifier": x["identifier"],
+                     "relation_prefix": "", "relation_id": "",
+                     "target_prefix": txp, "target_id": x["target_id"]}
+                )
+                po.intersections.append(
+                    {"prefix": x["prefix"], "identifier": x["identifier"],
+                     "relation_prefix": rp, "relation_id": ri,
+                     "target_prefix": gtp.lower(), "target_id": gti}
+                )
+            elif txp in rel_macro:
+                rp, ri = rel_macro[txp]
+                po.relations.append(
+                    {"prefix": x["prefix"], "identifier": x["identifier"],
+                     "relation_prefix": rp, "relation_id": ri,
+                     "target_prefix": txp, "target_id": x["target_id"]}
+                )
+            elif txp in isa:
                 po.parents.append(
-                    {"child": x["identifier"], "parent": x["target_id"]}
+                    {"child_prefix": x["prefix"], "child": x["identifier"],
+                     "parent_prefix": txp, "parent": x["target_id"]}
                 )
             else:
                 remaining.append(x)
@@ -400,10 +540,19 @@ def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
             for text in pdf["text"]:
                 po = parse_obo_text(text)
                 for tname in ("terms", "synonyms", "xrefs", "relations",
-                              "parents", "alts", "properties", "typedefs"):
+                              "parents", "alts", "properties", "typedefs",
+                              "intersections", "replaced_by", "considers"):
                     for r in getattr(po, tname):
                         tables.append(tname)
                         rows.append(json.dumps(r))
+                # one header-metadata row per document (utils/ver
+                # VersionMetadata); chunked parses of one doc emit
+                # identical rows — deduped below
+                tables.append("metadata")
+                rows.append(json.dumps(
+                    {"prefix": po.prefix, "version": po.version,
+                     "date": po.date}
+                ))
             yield pd.DataFrame({"table": tables, "row_json": rows})
 
     df = spark.createDataFrame(texts, in_schema).repartition(
@@ -434,14 +583,49 @@ def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
             T.StructField("provenance", T.StringType()),
         ]
     )
-    parents_schema = T.StructType(
-        [T.StructField("child", T.StringType()), T.StructField("parent", T.StringType())]
+    parents_schema = schemas.PARENTS
+    replaced_by_schema = T.StructType(
+        [
+            T.StructField("prefix", T.StringType()),
+            T.StructField("identifier", T.StringType()),
+            T.StructField("replacement_prefix", T.StringType()),
+            T.StructField("replacement_id", T.StringType()),
+        ]
+    )
+    considers_schema = T.StructType(
+        [
+            T.StructField("prefix", T.StringType()),
+            T.StructField("identifier", T.StringType()),
+            T.StructField("consider_prefix", T.StringType()),
+            T.StructField("consider_id", T.StringType()),
+        ]
     )
     typedefs_schema = T.StructType(
         [
             T.StructField("prefix", T.StringType()),
             T.StructField("identifier", T.StringType()),
             T.StructField("name", T.StringType()),
+            T.StructField("namespace", T.StringType()),
+            T.StructField("definition", T.StringType()),
+            T.StructField("comment", T.StringType()),
+            T.StructField("domain", T.StringType()),
+            T.StructField("range", T.StringType()),
+            T.StructField("inverse_of", T.StringType()),
+            T.StructField("transitive_over", T.StringType()),
+            T.StructField(
+                "holds_over_chain",
+                T.ArrayType(T.ArrayType(T.StringType())),
+            ),
+            T.StructField("is_transitive", T.BooleanType()),
+            T.StructField("is_symmetric", T.BooleanType()),
+            T.StructField("is_anti_symmetric", T.BooleanType()),
+            T.StructField("is_cyclic", T.BooleanType()),
+            T.StructField("is_reflexive", T.BooleanType()),
+            T.StructField("is_functional", T.BooleanType()),
+            T.StructField("is_inverse_functional", T.BooleanType()),
+            T.StructField("is_metadata_tag", T.BooleanType()),
+            T.StructField("is_class_level", T.BooleanType()),
+            T.StructField("is_obsolete", T.BooleanType()),
         ]
     )
     table_schemas = {
@@ -453,10 +637,21 @@ def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
         "alts": schemas.ALTS,
         "properties": schemas.LITERAL_PROPERTIES,
         "typedefs": typedefs_schema,
+        "intersections": schemas.INTERSECTIONS,
+        "replaced_by": replaced_by_schema,
+        "considers": considers_schema,
+        "metadata": T.StructType(
+            [
+                T.StructField("prefix", T.StringType()),
+                T.StructField("version", T.StringType()),
+                T.StructField("date", T.StringType()),
+            ]
+        ),
     }
     for tname, schema in table_schemas.items():
         sub = df.where(F.col("table") == tname).select("row_json")
         out[tname] = sub.select(
             F.from_json("row_json", schema).alias("r")
         ).select("r.*")
+    out["metadata"] = out["metadata"].dropDuplicates()
     return out

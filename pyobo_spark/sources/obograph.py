@@ -76,7 +76,9 @@ def obograph_to_tables(
         F.col("label").alias("name"),
     )
     parents = edges.where(F.col("predicate") == "is_a").select(
+        F.lit(prefix).alias("child_prefix"),
         strip(F.col("subject")).alias("child"),
+        F.lit(prefix).alias("parent_prefix"),
         strip(F.col("object")).alias("parent"),
     )
     return {"names": names, "parents": parents}

@@ -199,7 +199,9 @@ def xrefs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~log10(N) deep — ancestors/descendants closure tests).
 
 PARENTS_SQL = """
-SELECT lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS child,
+SELECT 'fixp' AS child_prefix,
+       lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS child,
+       'fixp' AS parent_prefix,
        lpad(CAST(p_partkey // 10 AS VARCHAR), 7, '0') AS parent
 FROM part WHERE p_partkey >= 10
 """
@@ -208,7 +210,9 @@ FROM part WHERE p_partkey >= 10
 def parents(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
     return p.where(F.col("p_partkey") >= 10).select(
+        F.lit("fixp").alias("child_prefix"),
         F.lpad(F.col("p_partkey").cast("string"), 7, "0").alias("child"),
+        F.lit("fixp").alias("parent_prefix"),
         F.lpad(F.expr("p_partkey DIV 10").cast("string"), 7, "0").alias("parent"),
     )
 

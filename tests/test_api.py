@@ -31,7 +31,7 @@ def test_catalog_from_obo(spark):
     m = cat.get_id_name_mapping("chebi")
     assert m["24431"] == "chemical entity"
     assert cat.ground("chebi", "molekulare Entitaet") == "chebi:23367"
-    assert "24431" in cat.get_ancestors("chebi", "24870")
+    assert "chebi:24431" in cat.get_ancestors("chebi", "24870")
 
 
 def test_catalog_parquet_roundtrip(spark, tmp_path):
@@ -50,7 +50,7 @@ def test_catalog_parquet_roundtrip(spark, tmp_path):
     cat = catalog_from_parquet(spark, str(tmp_path))
     assert cat.get_name("fixo", "0000001") == generator._label(1)
     assert cat.get_primary_identifier("fixo", "8000001") == "0000001"
-    assert "0000001" in cat.get_ancestors("fixo", "0000004")
+    assert "fixo:0000001" in cat.get_ancestors("fixo", "0000004")
 
 
 def test_names_family(catalog):
@@ -90,10 +90,10 @@ def test_xrefs_and_relations(catalog):
 
 def test_hierarchy_family(catalog):
     # parents tree: i → i//4
-    assert catalog.get_ancestors("fixo", "0000016") == {"0000004", "0000001"}
-    assert "0000016" in catalog.get_descendants("fixo", "0000004")
+    assert catalog.get_ancestors("fixo", "0000016") == {"fixo:0000004", "fixo:0000001"}
+    assert "fixo:0000016" in catalog.get_descendants("fixo", "0000004")
     assert catalog.get_children("fixo", "0000001") == {
-        "0000004", "0000005", "0000006", "0000007",
+        "fixo:0000004", "fixo:0000005", "fixo:0000006", "fixo:0000007",
     }
     assert catalog.has_ancestor("fixo", "0000016", "0000001")
     assert catalog.is_descendent("fixo", "0000001", "0000016")
@@ -109,3 +109,83 @@ def test_grounding_family(catalog):
     assert catalog.ground("fixo", "no such entity at all") is None
     lm = catalog.get_literal_mappings_df("fixo")
     assert lm.where("predicate = 'rdfs:label'").count() == 40
+
+
+def test_version_metadata_and_replacements(spark):
+    """get_version/get_metadata (api/metadata.py, utils/ver) and the
+    replaced_by/consider obsolete-upgrade surface (struct.py:1189-1236)."""
+    from pyobo_spark.api import catalog_from_obo
+
+    chebi_text = open(
+        "/root/reference/tests/resources/test_chebi.obo"
+    ).read()
+    inline = """format-version: 1.4
+ontology: tsto
+data-version: 42.0
+
+[Term]
+id: TSTO:1
+name: old thing
+is_obsolete: true
+replaced_by: TSTO:2
+consider: TSTO:3
+consider: XX:9
+
+[Term]
+id: TSTO:2
+name: new thing
+"""
+    cat = catalog_from_obo(spark, [("chebi", chebi_text), ("tsto", inline)])
+    assert cat.get_version("chebi") == "185"
+    assert cat.get_version("tsto") == "42.0"
+    md = cat.get_metadata("chebi")
+    assert md["version"] == "185"
+    assert cat.get_replaced_by("tsto", "1") == "tsto:2"
+    assert cat.get_replaced_by("tsto", "2") is None
+    assert cat.get_considers("tsto", "1") == ["tsto:3", "xx:9"]
+    # grounder cache is keyed per prefix: grounding works for BOTH
+    # ontologies in the same catalog (regression for the shared-slot bug)
+    assert cat.ground("tsto", "new thing") == "tsto:0000002" or \
+        cat.ground("tsto", "new thing") == "tsto:2"
+    assert cat.ground("chebi", "chemical entity") == "chebi:24431"
+
+
+def test_multi_ontology_hierarchy_no_collision(spark):
+    """Two ontologies with IDENTICAL numeric locals must keep separate
+    transitive closures (regression: unprefixed parents merged unrelated
+    hierarchies in a multi-ontology catalog)."""
+    from pyobo_spark.api import catalog_from_obo
+
+    a = """format-version: 1.4
+ontology: aaa
+
+[Term]
+id: AAA:2
+name: a-child
+is_a: AAA:1
+
+[Term]
+id: AAA:1
+name: a-root
+"""
+    b = """format-version: 1.4
+ontology: bbb
+
+[Term]
+id: BBB:2
+name: b-child
+is_a: BBB:9
+
+[Term]
+id: BBB:9
+name: b-root
+"""
+    cat = catalog_from_obo(spark, [("aaa", a), ("bbb", b)])
+    assert cat.get_ancestors("aaa", "2") == {"aaa:1"}
+    assert cat.get_ancestors("bbb", "2") == {"bbb:9"}
+    # hierarchy edges are stamped with their true origin prefixes
+    edges = {
+        (r["child_curie"], r["parent_curie"])
+        for r in cat.get_hierarchy("aaa").collect()
+    }
+    assert edges == {("aaa:2", "aaa:1")}

@@ -118,7 +118,10 @@ def test_obsolete_upgrade_tags():
 
 def test_hierarchy_alts_relations_properties():
     po = parse_obo_text(CHEBI_LIKE)
-    assert po.parents == [{"child": "1234", "parent": "26385"}]
+    assert po.parents == [
+        {"child_prefix": "chebi", "child": "1234",
+         "parent_prefix": "chebi", "parent": "26385"}
+    ]
     assert po.alts[0]["alt_id"] == "999"
     r = po.relations[0]
     assert (r["relation_prefix"], r["relation_id"]) == ("BFO", "0000050")
@@ -168,3 +171,128 @@ def test_parse_obo_files_spark(spark):
         r["identifier"]: r["name"] for r in tables["terms"].collect()
     }
     assert names["1234"] == "caffeine"
+
+
+ALL_MACROS = """format-version: 1.4
+ontology: fbbt
+treat-xrefs-as-equivalent: wikidata
+treat-xrefs-as-genus-differentia: CL part_of NCBITaxon:7227
+treat-xrefs-as-relationship: MA homologous_to
+treat-xrefs-as-is_a: BILA
+
+[Term]
+id: FBbt:0000001
+name: neuron
+xref: wikidata:Q43054
+xref: CL:0000540
+xref: MA:0000168
+xref: BILA:0000080
+xref: CAS:58-08-2
+
+[Typedef]
+id: homologous_to
+name: homologous to
+"""
+
+
+def test_all_four_xref_macros():
+    """All 4 treat-xrefs-as-* kinds (reader.py:632-694 MacroConfig +
+    _handle_xref): equivalent -> owl:equivalentClass xref;
+    genus-differentia -> two intersection_of legs (genus = the xref,
+    differentia = pred + filler); relationship -> relation row with the
+    configured predicate; is_a -> parent row keeping the FOREIGN target
+    prefix (reader.py:716 append_parent keeps the full reference)."""
+    po = parse_obo_text(ALL_MACROS)
+    # equivalent
+    equiv = [x for x in po.xrefs if x["target_prefix"] == "wikidata"]
+    assert equiv and equiv[0]["predicate"] == "owl:equivalentClass"
+    # genus-differentia: CL xref gone from xrefs, two intersection legs
+    assert not any(x["target_prefix"] == "cl" for x in po.xrefs)
+    legs = [i for i in po.intersections if i["identifier"] == "0000001"]
+    assert {
+        (leg["relation_prefix"], leg["relation_id"],
+         leg["target_prefix"], leg["target_id"])
+        for leg in legs
+    } == {
+        ("", "", "cl", "0000540"),              # genus = the xref itself
+        ("BFO", "0000050", "ncbitaxon", "7227"),  # differentia (grounded)
+    }
+    # relationship: MA xref becomes a relation with predicate homologous_to
+    rel = [r for r in po.relations if r["target_prefix"] == "ma"]
+    assert rel and (rel[0]["relation_prefix"], rel[0]["relation_id"]) in (("", "homologous_to"), ("RO", "HOM0000007"))
+    assert rel[0]["target_id"] == "0000168"
+    # is_a: BILA xref becomes a parent with the foreign prefix preserved
+    assert {"child_prefix": "fbbt", "child": "0000001",
+            "parent_prefix": "bila", "parent": "0000080"} in po.parents
+    # untouched xref stays an xref
+    assert any(x["target_prefix"] == "cas" for x in po.xrefs)
+
+
+def test_comment_strip_respects_quotes():
+    """An unescaped '!' inside a quoted def/synonym is NOT a comment
+    delimiter (OBO spec: comments start at unquoted, unescaped '!')."""
+    obo = (
+        "format-version: 1.4\nontology: tst\n\n[Term]\nid: TST:1\n"
+        'def: "Loud !important value" [pubmed:1]\n'
+        'synonym: "bang ! bang" EXACT [pubmed:2]\n'
+        "name: thing ! this is a real comment\n"
+    )
+    po = parse_obo_text(obo)
+    assert po.terms[0]["definition"] == "Loud !important value"
+    assert po.terms[0]["name"] == "thing"
+    assert po.synonyms[0]["text"] == "bang ! bang"
+    assert po.synonyms[0]["provenance"] == ["pubmed:2"]
+
+
+def test_typedef_metadata_depth():
+    """OBO 1.4 typedef-only fields (struct.py:2254-2318): domain/range/
+    inverse_of/transitivity flags/holds_over_chain parse into the wide
+    typedefs row; a typedef's comment does NOT leak into properties."""
+    obo = """format-version: 1.4
+ontology: ro
+
+[Typedef]
+id: BFO:0000050
+name: part of
+namespace: external
+def: "a core relation" [obo:defs]
+comment: use with care
+domain: BFO:0000004
+range: BFO:0000004
+inverse_of: BFO:0000051
+transitive_over: RO:0002131
+holds_over_chain: BFO:0000050 BFO:0000050
+is_transitive: true
+is_symmetric: false
+is_anti_symmetric: true
+is_reflexive: false
+is_cyclic: false
+is_functional: false
+is_inverse_functional: false
+is_metadata_tag: false
+is_class_level: false
+
+[Typedef]
+id: bare_rel
+name: bare relation
+"""
+    po = parse_obo_text(obo)
+    td = po.typedefs[0]
+    assert td["prefix"] == "BFO" and td["identifier"] == "0000050"
+    assert td["definition"] == "a core relation"
+    assert td["comment"] == "use with care"
+    assert td["domain"] == "BFO:0000004"
+    assert td["range"] == "BFO:0000004"
+    assert td["inverse_of"] == "BFO:0000051"
+    assert td["transitive_over"] == "RO:0002131"
+    assert td["holds_over_chain"] == [["BFO:0000050", "BFO:0000050"]]
+    assert td["is_transitive"] is True
+    assert td["is_symmetric"] is False
+    assert td["is_anti_symmetric"] is True
+    # typedef comment stays off the term properties table
+    assert not any(
+        p["predicate_curie"] == "rdfs:comment" for p in po.properties
+    )
+    bare = po.typedefs[1]
+    assert bare["name"] == "bare relation"
+    assert bare["is_transitive"] is None and bare["domain"] is None
