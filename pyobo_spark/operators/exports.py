@@ -335,23 +335,44 @@ def name_id_mapping(terms: DataFrame) -> DataFrame:
     )
 
 
-def nodes_export(terms: DataFrame, synonyms: DataFrame) -> DataFrame:
+def nodes_export(
+    terms: DataFrame,
+    synonyms: DataFrame,
+    replaced_by: DataFrame | None = None,
+) -> DataFrame:
     """Neo4j nodes artifact (write_nodes, struct.py:1181-1253): one row
     per term with ';'-joined sorted synonyms, deprecated flag as
-    'true'/'false' strings (struct.py:1226)."""
+    'true'/'false' strings (struct.py:1226), and the ';'-joined
+    replaced_by CURIE list (nodes_header 'replaced_by:string[]',
+    struct.py:1203/1232)."""
     syn = synonyms.groupBy("prefix", "identifier").agg(
         F.concat_ws(";", F.sort_array(F.collect_list("text"))).alias("synonyms")
     )
-    return (
-        terms.join(syn, on=["prefix", "identifier"], how="left")
-        .select(
-            F.concat("prefix", F.lit(":"), "identifier").alias("curie"),
-            "name",
-            F.coalesce("synonyms", F.lit("")).alias("synonyms"),
-            F.when(F.col("is_obsolete"), "true").otherwise("false").alias(
-                "deprecated"
-            ),
+    out = terms.join(syn, on=["prefix", "identifier"], how="left")
+    if replaced_by is not None:
+        rb = replaced_by.groupBy("prefix", "identifier").agg(
+            F.concat_ws(
+                ";",
+                F.sort_array(
+                    F.collect_list(
+                        F.concat(
+                            "replacement_prefix", F.lit(":"), "replacement_id"
+                        )
+                    )
+                ),
+            ).alias("replaced_by")
         )
+        out = out.join(rb, on=["prefix", "identifier"], how="left")
+    else:
+        out = out.withColumn("replaced_by", F.lit(None).cast("string"))
+    return out.select(
+        F.concat("prefix", F.lit(":"), "identifier").alias("curie"),
+        "name",
+        F.coalesce("synonyms", F.lit("")).alias("synonyms"),
+        F.when(F.col("is_obsolete"), "true").otherwise("false").alias(
+            "deprecated"
+        ),
+        F.coalesce("replaced_by", F.lit("")).alias("replaced_by"),
     )
 
 

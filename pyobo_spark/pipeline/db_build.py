@@ -103,3 +103,59 @@ def ontology_metadata(
         "generated": _t.strftime("%Y-%m-%dT%H:%M:%SZ", _t.gmtime()),
         "engine": "pyobo_spark",
     }
+
+
+# ---- format-priority dispatch (getters.py:92-216 get_ontology) ----
+
+#: Formats in the order the reference tries them (getters.py:118-170);
+#: OWL-via-ROBOT is out of scope (SURVEY §7 — external Java tool), so the
+#: chain here is OBO flat file → OBO Graph JSON → SKOS/N-Triples → CSV.
+FORMAT_PRIORITY: tuple[str, ...] = ("obo", "obograph", "skos", "csv")
+
+
+class NoBuildError(RuntimeError):
+    """No supported format available for a prefix (getters.py:63-70)."""
+
+
+def get_ontology(
+    spark: SparkSession,
+    prefix: str,
+    available: dict[str, object],
+    uri_prefix: str = "http://purl.obolibrary.org/obo/",
+) -> dict[str, DataFrame]:
+    """Parse the highest-priority available format into long tables.
+
+    `available` maps format name → source handle: OBO document text for
+    'obo', a JSON file path for 'obograph', an N-Triples file path for
+    'skos', or a (path, ColumnSpec) pair for 'csv'. Mirrors the
+    reference's get_ontology chain (getters.py:92-216), which prefers
+    the richest format and falls through on absence."""
+    for fmt in FORMAT_PRIORITY:
+        if fmt not in available:
+            continue
+        handle = available[fmt]
+        if fmt == "obo":
+            from ..sources.obo_reader import parse_obo_files
+
+            return parse_obo_files(spark, [(prefix, str(handle))])
+        if fmt == "obograph":
+            from ..sources.obograph import obograph_to_tables, read_obograph
+
+            g = read_obograph(spark, str(handle))
+            return obograph_to_tables(
+                g["nodes"], g["edges"], uri_prefix, prefix
+            )
+        if fmt == "skos":
+            from ..sources.ntriples import read_ntriples, skos_to_tables
+
+            return skos_to_tables(
+                read_ntriples(spark, str(handle)), uri_prefix, prefix
+            )
+        if fmt == "csv":
+            from ..sources.csv_source import read_nomenclature_csv
+
+            path, spec = handle  # type: ignore[misc]
+            return read_nomenclature_csv(spark, str(path), spec)
+    raise NoBuildError(
+        f"no supported format for {prefix!r}; available={sorted(available)}"
+    )

@@ -642,24 +642,36 @@ GROUP BY identifier
 
 def q_nodes_export(spark, sf_dir):
     return exports.nodes_export(
-        tp.terms(spark, sf_dir), tp.synonyms(spark, sf_dir)
+        tp.terms(spark, sf_dir),
+        tp.synonyms(spark, sf_dir),
+        replaced_by=tp.replaced_by(spark, sf_dir),
     )
 
 
 SQL_NODES_EXPORT = f"""
 WITH terms AS ({tp.TERMS_SQL}),
 syn AS ({tp.SYNONYMS_SQL}),
+rb AS ({tp.REPLACED_BY_SQL}),
 agg AS (
   SELECT prefix, identifier,
          string_agg(text, ';' ORDER BY text) AS synonyms
   FROM syn GROUP BY prefix, identifier
+),
+rba AS (
+  SELECT prefix, identifier,
+         string_agg(concat(replacement_prefix, ':', replacement_id), ';'
+                    ORDER BY concat(replacement_prefix, ':', replacement_id))
+           AS replaced_by
+  FROM rb GROUP BY prefix, identifier
 )
 SELECT concat(t.prefix, ':', t.identifier) AS curie,
        t.name,
        coalesce(a.synonyms, '') AS synonyms,
-       CASE WHEN t.is_obsolete THEN 'true' ELSE 'false' END AS deprecated
-FROM terms t LEFT JOIN agg a
-  ON t.prefix = a.prefix AND t.identifier = a.identifier
+       CASE WHEN t.is_obsolete THEN 'true' ELSE 'false' END AS deprecated,
+       coalesce(r.replaced_by, '') AS replaced_by
+FROM terms t
+LEFT JOIN agg a ON t.prefix = a.prefix AND t.identifier = a.identifier
+LEFT JOIN rba r ON t.prefix = r.prefix AND t.identifier = r.identifier
 """
 
 
@@ -1475,6 +1487,96 @@ def q_media_features(spark, sf_dir):
     return multimodal.extract_media_features(media)
 
 
+def q_ngram_jaccard_planted(spark, sf_dir):
+    """Exact 3-gram Jaccard over DETERMINISTIC candidate pairs (each
+    doc_id % 10 == 0 vs a planted twin missing the first word) — gives
+    the n-gram verify kernel a full DuckDB oracle, unlike the
+    LSH-candidate path (whose candidates come from xxhash64 MinHash and
+    are inherently engine-specific)."""
+    docs = tp.load(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 10 == 0)
+    planted = base.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
+    )
+    corpus = base.select("doc_id", "text").unionByName(planted)
+    cands = base.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 10_000_000).alias("doc_b"),
+    )
+    return dedup.ngram_jaccard_pairs(corpus, cands)
+
+
+SQL_NGRAM_JACCARD_PLANTED = """
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+),
+corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 10000000,
+         substring(text, instr(text, ' ') + 1)
+  FROM base
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(text) - 2, 1) + 1),
+           i -> substr(text, CAST(i AS INTEGER), 3)
+         )) AS g
+  FROM corpus
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(length(list_intersect(a.g, b.g)) AS DOUBLE)
+             / length(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 10000000
+WHERE a.doc_id % 10 = 0 AND a.doc_id < 10000000
+"""
+
+
+def q_media_digest(spark, sf_dir):
+    """Multimodal feature extraction with an exact oracle: the stubbed
+    decoder's features are sha256-byte/255 floats, so mapping them back
+    to integer bytes (round(f*255)) is engine-comparable against
+    DuckDB's sha256 hex."""
+    from .operators import multimodal
+
+    docs = tp.load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("blob://"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias(
+            "kind"
+        ),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    feats = multimodal.extract_media_features(media)
+    return feats.select(
+        "media_ref",
+        "kind",
+        F.transform(
+            "feature", lambda f: F.round(f * 255).cast("int")
+        ).alias("digest_bytes"),
+        "decode_status",
+    )
+
+
+SQL_MEDIA_DIGEST = """
+SELECT concat('blob://', CAST(doc_id AS VARCHAR)) AS media_ref,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       list_transform(range(0, 8),
+         i -> CAST(('0x' || substr(sha256(text), 1 + 2*i, 2)) AS INTEGER))
+         AS digest_bytes,
+       'ok_fake' AS decode_status
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1531,6 +1633,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sssom_with_justification": q_sssom_with_justification,
     "semantic_mappings": q_semantic_mappings,
     "hierarchy_nodes": q_hierarchy_nodes,
+    "ngram_jaccard_planted": q_ngram_jaccard_planted,
+    "media_digest": q_media_digest,
     "typedefs": q_typedefs,
     "references": q_references,
     "alts_grouped": q_alts_grouped,
@@ -1600,6 +1704,8 @@ ORACLES: dict[str, str] = {
     "sssom_with_justification": SQL_SSSOM_WITH_JUSTIFICATION,
     "semantic_mappings": SQL_SEMANTIC_MAPPINGS,
     "hierarchy_nodes": SQL_HIERARCHY_NODES,
+    "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
+    "media_digest": SQL_MEDIA_DIGEST,
     "typedefs": SQL_TYPEDEFS,
     "references": SQL_REFERENCES,
     "alts_grouped": SQL_ALTS_GROUPED,

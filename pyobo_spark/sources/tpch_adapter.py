@@ -198,6 +198,29 @@ def xrefs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is_a DAG: child p_partkey → parent p_partkey//10 (multi-level tree,
 # ~log10(N) deep — ancestors/descendants closure tests).
 
+# obsolete parts (p_partkey % 13 = 0, mirroring TERMS_SQL's is_obsolete)
+# point at their successor — the replaced_by obsolete-upgrade flow
+REPLACED_BY_SQL = """
+SELECT 'fixp' AS prefix,
+       lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS identifier,
+       'fixp' AS replacement_prefix,
+       lpad(CAST(p_partkey + 1 AS VARCHAR), 7, '0') AS replacement_id
+FROM part WHERE p_partkey % 13 = 0
+"""
+
+
+def replaced_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.where(F.col("p_partkey") % 13 == 0).select(
+        F.lit("fixp").alias("prefix"),
+        F.lpad(F.col("p_partkey").cast("string"), 7, "0").alias("identifier"),
+        F.lit("fixp").alias("replacement_prefix"),
+        F.lpad((F.col("p_partkey") + 1).cast("string"), 7, "0").alias(
+            "replacement_id"
+        ),
+    )
+
+
 PARENTS_SQL = """
 SELECT 'fixp' AS child_prefix,
        lpad(CAST(p_partkey AS VARCHAR), 7, '0') AS child,

@@ -66,3 +66,57 @@ def test_all_failed_raises(spark, tmp_path):
             str(tmp_path),
             "names3",
         )
+
+
+def test_get_ontology_format_priority(spark, tmp_path):
+    """Format-priority dispatch (getters.py:92-216): OBO beats OBO Graph
+    JSON beats SKOS; absent formats fall through; nothing available
+    raises NoBuildError."""
+    import json
+
+    import pytest
+
+    from pyobo_spark.pipeline.db_build import NoBuildError, get_ontology
+
+    obo_text = """format-version: 1.4
+ontology: tsto
+
+[Term]
+id: TSTO:1
+name: from obo
+"""
+    og_path = tmp_path / "g.json"
+    og_path.write_text(json.dumps({
+        "graphs": [{
+            "id": "g1",
+            "nodes": [{
+                "id": "http://purl.obolibrary.org/obo/TSTO_1",
+                "lbl": "from obograph",
+            }],
+            "edges": [],
+        }]
+    }))
+    nt_path = tmp_path / "g.nt"
+    nt_path.write_text(
+        "<http://purl.obolibrary.org/obo/TSTO_1> "
+        "<http://www.w3.org/2004/02/skos/core#prefLabel> \"from skos\" .\n"
+        "<http://purl.obolibrary.org/obo/TSTO_1> "
+        "<http://www.w3.org/2004/02/skos/core#inScheme> "
+        "<http://example.org/scheme> .\n"
+    )
+
+    # all three present → obo wins
+    tables = get_ontology(spark, "tsto", {
+        "obo": obo_text, "obograph": str(og_path), "skos": str(nt_path),
+    })
+    assert [r["name"] for r in tables["terms"].collect()] == ["from obo"]
+    # obo absent → obograph wins
+    tables = get_ontology(spark, "tsto", {
+        "obograph": str(og_path), "skos": str(nt_path),
+    })
+    assert [r["name"] for r in tables["names"].collect()] == ["from obograph"]
+    # only skos
+    tables = get_ontology(spark, "tsto", {"skos": str(nt_path)})
+    assert [r["name"] for r in tables["names"].collect()] == ["from skos"]
+    with pytest.raises(NoBuildError):
+        get_ontology(spark, "tsto", {})
