@@ -164,7 +164,13 @@ def obo_document(stanzas: DataFrame, prefix: str, version: str = "1") -> str:
     """Assemble the full OBO document string (driver-side — ontology
     serializations are small relative to the corpus). Stanzas globally
     sorted by identifier = the reference's deterministic-output contract
-    (utils/io.py:134)."""
+    (utils/io.py:134).
+
+    Bound: this collects ONE ontology's stanzas to the driver — the
+    largest real OBO documents are ~10^6 stanzas / low-GB text, inside
+    driver memory. It is never applied to the corpus; for bulk export of
+    many ontologies, write per-prefix partitioned text via
+    `stanzas.write` instead."""
     rows = stanzas.orderBy("identifier").collect()
     header = (
         f"format-version: 1.4\nontology: {prefix}\ndata-version: {version}\n"
