@@ -39,6 +39,10 @@ def obo_stanzas(
     parents: DataFrame,
     alts: DataFrame,
     prefix: str,
+    subsets: DataFrame | None = None,
+    intersections: DataFrame | None = None,
+    replaced_by: DataFrame | None = None,
+    considers: DataFrame | None = None,
 ) -> DataFrame:
     """Render [Term] stanzas for one ontology prefix.
 
@@ -50,7 +54,7 @@ def obo_stanzas(
     def tagged(df, order, line_col):
         return df.select(
             F.col("identifier"),
-            F.lit(order).alias("tag_order"),
+            F.lit(order).cast("double").alias("tag_order"),
             line_col.alias("line"),
         )
 
@@ -143,6 +147,79 @@ def obo_stanzas(
             t.where(F.col("is_obsolete")), 8, F.lit("is_obsolete: true")
         )
     )
+    # optional stanza families (struct.py iterate_obo_lines order:
+    # subset after alt_id, intersection_of after is_a, replaced_by /
+    # consider after is_obsolete)
+    if subsets is not None:
+        lines = lines.unionByName(
+            tagged(
+                subsets.where(F.col("prefix") == prefix),
+                3.7,
+                F.concat(F.lit("subset: "), F.col("subset")),
+            )
+        )
+    if intersections is not None:
+        ix = intersections.where(F.col("prefix") == prefix)
+        # genus legs carry NO relation at all; an ungrounded differentia
+        # label still has relation_id set
+        genus = (
+            (F.col("relation_prefix").isNull())
+            | (F.col("relation_prefix") == "")
+        ) & (
+            (F.col("relation_id").isNull()) | (F.col("relation_id") == "")
+        )
+        lines = lines.unionByName(
+            tagged(
+                ix,
+                6.3,
+                F.concat(
+                    F.lit("intersection_of: "),
+                    F.when(
+                        genus, F.lit("")
+                    ).otherwise(
+                        F.concat(
+                            F.when(
+                                F.col("relation_id").contains(":")
+                                | (F.col("relation_prefix") == ""),
+                                F.col("relation_id"),
+                            ).otherwise(
+                                F.concat(
+                                    "relation_prefix", F.lit(":"),
+                                    "relation_id",
+                                )
+                            ),
+                            F.lit(" "),
+                        )
+                    ),
+                    F.upper(F.col("target_prefix")), F.lit(":"),
+                    F.col("target_id"),
+                ),
+            )
+        )
+    if replaced_by is not None:
+        lines = lines.unionByName(
+            tagged(
+                replaced_by.where(F.col("prefix") == prefix),
+                8.5,
+                F.concat(
+                    F.lit("replaced_by: "),
+                    F.upper(F.col("replacement_prefix")), F.lit(":"),
+                    F.col("replacement_id"),
+                ),
+            )
+        )
+    if considers is not None:
+        lines = lines.unionByName(
+            tagged(
+                considers.where(F.col("prefix") == prefix),
+                8.7,
+                F.concat(
+                    F.lit("consider: "),
+                    F.upper(F.col("consider_prefix")), F.lit(":"),
+                    F.col("consider_id"),
+                ),
+            )
+        )
     stanza = (
         lines.groupBy("identifier")
         .agg(
@@ -176,3 +253,75 @@ def obo_document(stanzas: DataFrame, prefix: str, version: str = "1") -> str:
         f"format-version: 1.4\nontology: {prefix}\ndata-version: {version}\n"
     )
     return header + "\n" + "\n\n".join(r["stanza_text"] for r in rows) + "\n"
+
+
+def obo_typedef_stanzas(typedefs: DataFrame, prefix: str) -> DataFrame:
+    """Render [Typedef] stanzas with the OBO 1.4 typedef-only field set
+    (struct.py:2254-2318 / TypeDef.iterate_obo_lines). One row per
+    typedef: (identifier, stanza_text). Boolean flags are emitted only
+    when set; reference CURIEs as-is."""
+    # no prefix filter: typedef ids live in predicate namespaces (BFO/RO/
+    # local), all of which belong to the document being serialized
+    t = typedefs
+
+    def opt_line(tag, col):
+        return F.when(
+            F.col(col).isNotNull(),
+            F.concat(F.lit(f"\n{tag}: "), F.col(col).cast("string")),
+        ).otherwise(F.lit(""))
+
+    def bool_line(tag, col):
+        return F.when(
+            F.col(col).isNotNull(),
+            F.concat(
+                F.lit(f"\n{tag}: "),
+                F.when(F.col(col), "true").otherwise("false"),
+            ),
+        ).otherwise(F.lit(""))
+
+    chain_lines = F.when(
+        F.col("holds_over_chain").isNotNull()
+        & (F.size("holds_over_chain") > 0),
+        F.array_join(
+            F.transform(
+                "holds_over_chain",
+                lambda ch: F.concat(
+                    F.lit("\nholds_over_chain: "), F.array_join(ch, " ")
+                ),
+            ),
+            "",
+        ),
+    ).otherwise(F.lit(""))
+
+    body = F.concat(
+        F.lit("[Typedef]\nid: "),
+        F.concat("prefix", F.lit(":"), "identifier"),
+        opt_line("name", "name"),
+        opt_line("namespace", "namespace"),
+        F.when(
+            F.col("definition").isNotNull(),
+            F.concat(
+                F.lit('\ndef: "'), _esc(F.col("definition")), F.lit('" []')
+            ),
+        ).otherwise(F.lit("")),
+        opt_line("comment", "comment"),
+        opt_line("domain", "domain"),
+        opt_line("range", "range"),
+        chain_lines,
+        bool_line("is_anti_symmetric", "is_anti_symmetric"),
+        bool_line("is_cyclic", "is_cyclic"),
+        bool_line("is_reflexive", "is_reflexive"),
+        bool_line("is_symmetric", "is_symmetric"),
+        bool_line("is_transitive", "is_transitive"),
+        bool_line("is_functional", "is_functional"),
+        bool_line("is_inverse_functional", "is_inverse_functional"),
+        opt_line("inverse_of", "inverse_of"),
+        opt_line("transitive_over", "transitive_over"),
+        bool_line("is_metadata_tag", "is_metadata_tag"),
+        bool_line("is_class_level", "is_class_level"),
+        bool_line("is_obsolete", "is_obsolete"),
+    )
+    return t.select(
+        F.col("identifier"),
+        body.alias("stanza_text"),
+    )

@@ -541,7 +541,8 @@ def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
                 po = parse_obo_text(text)
                 for tname in ("terms", "synonyms", "xrefs", "relations",
                               "parents", "alts", "properties", "typedefs",
-                              "intersections", "replaced_by", "considers"):
+                              "intersections", "replaced_by", "considers",
+                              "subsets", "unions"):
                     for r in getattr(po, tname):
                         tables.append(tname)
                         rows.append(json.dumps(r))
@@ -640,6 +641,21 @@ def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
         "intersections": schemas.INTERSECTIONS,
         "replaced_by": replaced_by_schema,
         "considers": considers_schema,
+        "subsets": T.StructType(
+            [
+                T.StructField("prefix", T.StringType()),
+                T.StructField("identifier", T.StringType()),
+                T.StructField("subset", T.StringType()),
+            ]
+        ),
+        "unions": T.StructType(
+            [
+                T.StructField("prefix", T.StringType()),
+                T.StructField("identifier", T.StringType()),
+                T.StructField("target_prefix", T.StringType()),
+                T.StructField("target_id", T.StringType()),
+            ]
+        ),
         "metadata": T.StructType(
             [
                 T.StructField("prefix", T.StringType()),

@@ -106,3 +106,85 @@ def test_deterministic_output(spark, tables):
         "fixo",
     )
     assert mk() == mk()
+
+
+def test_roundtrip_extended_tags(spark):
+    """New stanza families round-trip: subset / intersection_of /
+    replaced_by / consider through obo_stanzas, and the wide [Typedef]
+    fields through obo_typedef_stanzas."""
+    src = """format-version: 1.4
+ontology: tsto
+data-version: 9
+
+[Term]
+id: TSTO:0000001
+name: composite thing
+subset: core_slim
+intersection_of: TSTO:0000002
+intersection_of: BFO:0000050 TSTO:0000003
+
+[Term]
+id: TSTO:0000002
+name: genus thing
+
+[Term]
+id: TSTO:0000003
+name: host thing
+
+[Term]
+id: TSTO:0000004
+name: dead thing
+is_obsolete: true
+replaced_by: TSTO:0000001
+consider: TSTO:0000002
+
+[Typedef]
+id: BFO:0000050
+name: part of
+domain: BFO:0000004
+range: BFO:0000004
+holds_over_chain: BFO:0000050 BFO:0000050
+is_transitive: true
+inverse_of: BFO:0000051
+"""
+    from pyobo_spark.sources.obo_reader import parse_obo_files
+
+    tables = parse_obo_files(spark, [("tsto", src)])
+    stanzas = obo_writer.obo_stanzas(
+        tables["terms"], tables["synonyms"], tables["xrefs"],
+        tables["relations"], tables["parents"], tables["alts"],
+        prefix="tsto",
+        subsets=tables["subsets"],
+        intersections=tables["intersections"],
+        replaced_by=tables["replaced_by"],
+        considers=tables["considers"],
+    )
+    doc = obo_writer.obo_document(stanzas, "tsto", "9")
+    po = parse_obo_text(doc)
+    assert po.subsets == [
+        {"prefix": "tsto", "identifier": "0000001", "subset": "core_slim"}
+    ]
+    assert {
+        (i["relation_prefix"], i["relation_id"],
+         i["target_prefix"], i["target_id"])
+        for i in po.intersections
+    } == {("", "", "tsto", "0000002"), ("BFO", "0000050", "tsto", "0000003")}
+    assert po.replaced_by == [
+        {"prefix": "tsto", "identifier": "0000004",
+         "replacement_prefix": "tsto", "replacement_id": "0000001"}
+    ]
+    assert po.considers[0]["consider_id"] == "0000002"
+
+    td_stanzas = obo_writer.obo_typedef_stanzas(tables["typedefs"], "tsto")
+    td_text = "\n\n".join(
+        r["stanza_text"] for r in td_stanzas.orderBy("identifier").collect()
+    )
+    po2 = parse_obo_text(
+        "format-version: 1.4\nontology: tsto\n\n" + td_text
+    )
+    td = po2.typedefs[0]
+    assert td["domain"] == "BFO:0000004"
+    assert td["range"] == "BFO:0000004"
+    assert td["holds_over_chain"] == [["BFO:0000050", "BFO:0000050"]]
+    assert td["is_transitive"] is True
+    assert td["inverse_of"] == "BFO:0000051"
