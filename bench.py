@@ -47,6 +47,11 @@ HEADLINE = [
     "nodes_export",             # Neo4j nodes artifact (groupBy collect)
     "span_pipeline",            # interleaved spans: posexplode + matcher
     "clean_corpus",             # quality filter + dedup keep-first
+    "simhash",                  # JVM xxhash64 tokens + numpy bit-majority
+    "ngram_jaccard_planted",    # exact n-gram verify kernel
+    "semantic_mappings",        # full SSSOM column set projection
+    "media_digest",             # multimodal Arrow decode-stub stage
+    "hierarchy_nodes",          # node-set + literal-property join
 ]
 
 

@@ -32,8 +32,8 @@ def catalog_from_parquet(spark, root: str) -> "OntologyCatalog":
 
     tables = {}
     for name in ("terms", "synonyms", "xrefs", "relations", "parents",
-                 "alts", "properties", "typedefs", "replaced_by",
-                 "considers", "intersections", "metadata"):
+                 "alts", "properties", "object_properties", "typedefs",
+                 "replaced_by", "considers", "intersections", "metadata"):
         path = os.path.join(root, f"{name}.parquet")
         if os.path.exists(path):
             tables[name] = spark.read.parquet(path)
@@ -62,6 +62,7 @@ class OntologyCatalog:
         self.replaced_by = tables.get("replaced_by")
         self.considers = tables.get("considers")
         self.intersections = tables.get("intersections")
+        self.object_properties = tables.get("object_properties")
         self.metadata = tables.get("metadata")
         self._spark = self.terms.sparkSession
         self._grounders: dict[tuple[str, bool], object] = {}
@@ -127,6 +128,14 @@ class OntologyCatalog:
             self.synonyms.where(F.col("prefix") == prefix)
         )
         return {r["identifier"]: list(r["synonyms"]) for r in df.collect()}
+
+    def get_typedef_df(self, prefix: str | None = None) -> DataFrame:
+        """The wide typedef dim (struct.py:2254-2318 fields); optionally
+        filtered to one predicate namespace."""
+        td = self.typedefs
+        if prefix is not None:
+            td = td.where(F.col("prefix") == prefix)
+        return td
 
     # ---- metadata / versions (api/metadata.py, utils/ver) ----
     def get_version(self, prefix: str) -> str | None:
@@ -287,9 +296,12 @@ class OntologyCatalog:
 
     # ---- properties (api/properties.py) ----
     def get_properties_df(self, prefix: str) -> DataFrame:
-        return exports.properties_combined(
-            self.properties, self._empty_object_props(), prefix
+        obj = (
+            self.object_properties
+            if self.object_properties is not None
+            else self._empty_object_props()
         )
+        return exports.properties_combined(self.properties, obj, prefix)
 
     def get_filtered_properties_mapping(
         self, prefix: str, prop: str

@@ -70,6 +70,7 @@ class ParsedOntology:
     parents: list[dict] = field(default_factory=list)
     alts: list[dict] = field(default_factory=list)
     properties: list[dict] = field(default_factory=list)
+    object_properties: list[dict] = field(default_factory=list)
     typedefs: list[dict] = field(default_factory=list)
     # obsolete-upgrade flow (reader.py replaced_by/consider handling;
     # surfaced in the nodes export, struct.py:1189-1236)
@@ -404,6 +405,20 @@ def parse_obo_text(text: str) -> ParsedOntology:
                     rest = val[m.end():].strip() if m else ""
                     val = _unescape(m.group("text")) if m else val
                     dtype = rest.split()[0] if rest else None
+                elif ":" in val and " " not in val and not val.startswith(
+                    ("http://", "https://")
+                ):
+                    # unquoted CURIE object, no datatype → OBJECT property
+                    # (reference splits literal vs object annotations,
+                    # struct.py:1716-1723 / _iterate_obo_properties)
+                    po.object_properties.append(
+                        {
+                            "source_curie": f"{prefix.lower()}:{local}",
+                            "predicate_curie": parts[0],
+                            "target_curie": val,
+                        }
+                    )
+                    continue
                 po.properties.append(
                     {
                         "source_curie": f"{prefix.lower()}:{local}",
@@ -542,7 +557,7 @@ def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
                 for tname in ("terms", "synonyms", "xrefs", "relations",
                               "parents", "alts", "properties", "typedefs",
                               "intersections", "replaced_by", "considers",
-                              "subsets", "unions"):
+                              "subsets", "unions", "object_properties"):
                     for r in getattr(po, tname):
                         tables.append(tname)
                         rows.append(json.dumps(r))
@@ -641,6 +656,7 @@ def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
         "intersections": schemas.INTERSECTIONS,
         "replaced_by": replaced_by_schema,
         "considers": considers_schema,
+        "object_properties": schemas.OBJECT_PROPERTIES,
         "subsets": T.StructType(
             [
                 T.StructField("prefix", T.StringType()),

@@ -296,3 +296,27 @@ name: bare relation
     bare = po.typedefs[1]
     assert bare["name"] == "bare relation"
     assert bare["is_transitive"] is None and bare["domain"] is None
+
+
+def test_object_vs_literal_property_values():
+    """property_value with an unquoted CURIE object is an OBJECT
+    property (struct.py:1716-1723); quoted/datatyped values stay
+    literal; URL values stay literal."""
+    obo = """format-version: 1.4
+ontology: tst
+
+[Term]
+id: TST:1
+property_value: RO:0000087 CHEBI:456
+property_value: IAO:0000412 "hello world" xsd:string
+property_value: IAO:0000412 http://example.org/page
+"""
+    po = parse_obo_text(obo)
+    assert po.object_properties == [
+        {"source_curie": "tst:1", "predicate_curie": "RO:0000087",
+         "target_curie": "CHEBI:456"}
+    ]
+    vals = {(p["predicate_curie"], p["value"], p["datatype"])
+            for p in po.properties}
+    assert ("IAO:0000412", "hello world", "xsd:string") in vals
+    assert ("IAO:0000412", "http://example.org/page", None) in vals
