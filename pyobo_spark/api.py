@@ -33,7 +33,8 @@ def catalog_from_parquet(spark, root: str) -> "OntologyCatalog":
     tables = {}
     for name in ("terms", "synonyms", "xrefs", "relations", "parents",
                  "alts", "properties", "object_properties", "typedefs",
-                 "replaced_by", "considers", "intersections", "metadata"):
+                 "replaced_by", "considers", "intersections", "subsets",
+                 "metadata"):
         path = os.path.join(root, f"{name}.parquet")
         if os.path.exists(path):
             tables[name] = spark.read.parquet(path)
@@ -63,6 +64,7 @@ class OntologyCatalog:
         self.considers = tables.get("considers")
         self.intersections = tables.get("intersections")
         self.object_properties = tables.get("object_properties")
+        self.subsets = tables.get("subsets")
         self.metadata = tables.get("metadata")
         self._spark = self.terms.sparkSession
         self._grounders: dict[tuple[str, bool], object] = {}
@@ -128,6 +130,22 @@ class OntologyCatalog:
             self.synonyms.where(F.col("prefix") == prefix)
         )
         return {r["identifier"]: list(r["synonyms"]) for r in df.collect()}
+
+    def get_subsets_df(self, prefix: str) -> DataFrame:
+        """subset membership rows (struct.py subsets field / nodes-export
+        subsets column)."""
+        return self.subsets.where(F.col("prefix") == prefix)
+
+    def get_subset_members(self, prefix: str, subset: str) -> set[str]:
+        """Identifiers tagged with a subset (e.g. a GO slim)."""
+        if self.subsets is None:
+            return set()
+        return {
+            r["identifier"]
+            for r in self.subsets.where(
+                (F.col("prefix") == prefix) & (F.col("subset") == subset)
+            ).select("identifier").collect()
+        }
 
     def get_typedef_df(self, prefix: str | None = None) -> DataFrame:
         """The wide typedef dim (struct.py:2254-2318 fields); optionally

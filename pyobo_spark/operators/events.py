@@ -111,3 +111,26 @@ def salted_counts(
         .agg(F.count(F.lit(1)).alias("_partial"))
     )
     return partial.groupBy(key).agg(F.sum("_partial").alias("n_rows"))
+
+
+def sessionize_native(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions via Spark's NATIVE session_window operator —
+    the idiomatic form of `sessionize` (same semantics: a session closes
+    after gap_minutes of inactivity; works in batch and, with a
+    watermark, in Structured Streaming). One shuffle on (user_id,
+    session window); Catalyst merges overlapping windows in the
+    aggregation, no lag/running-sum composition needed.
+
+    Returns (user_id, n_events, session_start, session_end) where
+    session_start/end are min/max EVENT times (not the padded window
+    end, which extends gap_minutes past the last event)."""
+    w = F.session_window("ts", f"{gap_minutes} minutes")
+    return (
+        events.groupBy("user_id", w.alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .drop("win")
+    )

@@ -869,6 +869,39 @@ FROM tagged GROUP BY user_id, session_seq
 """
 
 
+def q_events_sessionize_native(spark, sf_dir):
+    """Same session semantics via Spark's native session_window operator
+    (the idiomatic streaming-compatible form); oracle shared with the
+    lag+running-sum composition, minus the session_seq bookkeeping."""
+    from .operators import events as ev
+
+    return ev.sessionize_native(
+        tp.load(spark, sf_dir, "events"), gap_minutes=30
+    )
+
+
+SQL_EVENTS_SESSIONIZE_NATIVE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR date_diff('microseconds', lag(ts) OVER w, ts)
+                      > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+tagged AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM ordered
+)
+SELECT user_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM tagged GROUP BY user_id, session_seq
+"""
+
+
 def q_events_sliding(spark, sf_dir):
     from .operators import events as ev
 
@@ -1635,6 +1668,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hierarchy_nodes": q_hierarchy_nodes,
     "ngram_jaccard_planted": q_ngram_jaccard_planted,
     "media_digest": q_media_digest,
+    "events_sessionize_native": q_events_sessionize_native,
     "typedefs": q_typedefs,
     "references": q_references,
     "alts_grouped": q_alts_grouped,
@@ -1706,6 +1740,7 @@ ORACLES: dict[str, str] = {
     "hierarchy_nodes": SQL_HIERARCHY_NODES,
     "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
     "media_digest": SQL_MEDIA_DIGEST,
+    "events_sessionize_native": SQL_EVENTS_SESSIONIZE_NATIVE,
     "typedefs": SQL_TYPEDEFS,
     "references": SQL_REFERENCES,
     "alts_grouped": SQL_ALTS_GROUPED,
