@@ -137,3 +137,48 @@ def test_streaming_windowed_watermark(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     }
     assert after.get(("2024-01-01 00:00:00", "click")) == 2  # unchanged
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """session_window under readStream + watermark (availableNow): gap
+    merging matches the batch operator; late state is bounded by the
+    watermark."""
+    import datetime as dt
+
+    from pyobo_spark.streaming.mentions import stream_session_counts
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            # watermarks require TIMESTAMP (LTZ) event time; the test
+            # session pins UTC so values are deterministic
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def t(minutes):
+        return base + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, t(0)), (1, t(10)), (1, t(20)),   # one session (gaps 10m)
+        (1, t(120)), (1, t(125)),            # second session
+        (2, t(0)),                           # single-event session
+        # watermark advancer: append mode only emits sessions FINALIZED
+        # by the watermark (max event time - 1h); this event pushes the
+        # watermark past every session above, and its own in-flight
+        # session is correctly withheld
+        (99, t(600)),
+    ]
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(in_dir)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream_session_counts(spark, in_dir, schema, ckpt, out_dir)
+
+    got = {
+        (r["user_id"], r["window_start"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(1, t(0), 3), (1, t(120), 2), (2, t(0), 1)}
+    # the advancer's own session is still open → not emitted
+    assert not any(u == 99 for u, _, _ in got)
