@@ -40,16 +40,22 @@ def _ensure_executors_can_import(spark: SparkSession) -> None:
         zip_path = os.path.join(_REPO, "dist", "pyobo_spark.zip")
         root = pathlib.Path(_REPO) / "pyobo_spark"
         sources = sorted(root.rglob("*.py"))
-        newest_src = max(p.stat().st_mtime for p in sources)
-        # rebuild when any source is newer — a stale zip would ship old
-        # code to executor Python workers
-        if (not os.path.exists(zip_path)
-                or os.path.getmtime(zip_path) < newest_src):
-            os.makedirs(os.path.dirname(zip_path), exist_ok=True)
-            with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
-                for p in sources:
-                    z.write(p, p.relative_to(pathlib.Path(_REPO)))
-        spark.sparkContext.addPyFile(zip_path)
+        if sources:
+            # rebuild when any source is newer — a stale zip would ship
+            # old code to executor Python workers
+            newest_src = max(p.stat().st_mtime for p in sources)
+            if (not os.path.exists(zip_path)
+                    or os.path.getmtime(zip_path) < newest_src):
+                os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+                with zipfile.ZipFile(
+                    zip_path, "w", zipfile.ZIP_DEFLATED
+                ) as z:
+                    for p in sources:
+                        z.write(p, p.relative_to(pathlib.Path(_REPO)))
+        # zip-only deployment (no source tree next to this file): ship
+        # the prebuilt zip as-is
+        if os.path.exists(zip_path):
+            spark.sparkContext.addPyFile(zip_path)
     except Exception:  # noqa: BLE001 — Connect session or already added
         pass
     _PYFILES_SENT.add(key)

@@ -131,9 +131,16 @@ class OntologyCatalog:
         )
         return {r["identifier"]: list(r["synonyms"]) for r in df.collect()}
 
+    def _empty(self, ddl: str) -> DataFrame:
+        return self._spark.createDataFrame([], ddl)
+
     def get_subsets_df(self, prefix: str) -> DataFrame:
         """subset membership rows (struct.py subsets field / nodes-export
         subsets column)."""
+        if self.subsets is None:
+            return self._empty(
+                "prefix string, identifier string, subset string"
+            )
         return self.subsets.where(F.col("prefix") == prefix)
 
     def get_subset_members(self, prefix: str, subset: str) -> set[str]:
@@ -150,6 +157,8 @@ class OntologyCatalog:
     def get_typedef_df(self, prefix: str | None = None) -> DataFrame:
         """The wide typedef dim (struct.py:2254-2318 fields); optionally
         filtered to one predicate namespace."""
+        if self.typedefs is None:
+            return self._empty("prefix string, identifier string, name string")
         td = self.typedefs
         if prefix is not None:
             td = td.where(F.col("prefix") == prefix)
@@ -181,6 +190,11 @@ class OntologyCatalog:
     # ---- obsolete-upgrade (replaced_by / consider; struct.py:1189-1236
     #      nodes-export columns, reader replaced_by flow) ----
     def get_replacements_df(self, prefix: str) -> DataFrame:
+        if self.replaced_by is None:
+            return self._empty(
+                "prefix string, identifier string,"
+                " replacement_prefix string, replacement_id string"
+            )
         return self.replaced_by.where(F.col("prefix") == prefix)
 
     def get_replaced_by(self, prefix: str, identifier: str) -> str | None:
@@ -319,7 +333,13 @@ class OntologyCatalog:
             if self.object_properties is not None
             else self._empty_object_props()
         )
-        return exports.properties_combined(self.properties, obj, prefix)
+        # per-prefix like the reference (api/properties.py): without this
+        # filter a multi-ontology catalog would return every other
+        # ontology's rows with unstripped CURIEs as identifiers
+        mine = F.col("source_curie").startswith(f"{prefix}:")
+        return exports.properties_combined(
+            self.properties.where(mine), obj.where(mine), prefix
+        )
 
     def get_filtered_properties_mapping(
         self, prefix: str, prop: str

@@ -136,11 +136,19 @@ def minhash_near_duplicates(
     rows_per_band = n_perm // n_bands
     spark = documents.sparkSession
     # small inputs arrive as 1-2 parquet files; spread the Arrow-batch
-    # signature stage across the configured reducer count. Conf-driven
-    # (no .rdd probe: that breaks under Spark Connect and forces an
-    # extra analysis of the plan).
+    # signature stage across the configured reducer count. Probe the
+    # source file count instead of .rdd.getNumPartitions (Connect-safe,
+    # no extra analysis) and only repartition when the input is narrower
+    # than the target — an unconditional repartition would force a full
+    # extra shuffle of the corpus and COLLAPSE a wide input down to
+    # shuffle.partitions.
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    documents = documents.repartition(par)
+    try:
+        n_files = len(documents.inputFiles())
+    except Exception:  # noqa: BLE001 — non-file source; leave layout alone
+        n_files = par
+    if 0 < n_files < par:
+        documents = documents.repartition(par)
     sigs = minhash_signatures(documents, n_perm=n_perm)
     cands = minhash_lsh_candidates(sigs, n_bands=n_bands, rows_per_band=rows_per_band)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))

@@ -40,6 +40,12 @@ _SYN_RE = re.compile(
 _DEF_RE = re.compile(r'^"(?P<text>(?:[^"\\]|\\.)*)"(?:\s+\[(?P<prov>[^\]]*)\])?')
 _UNESCAPE = re.compile(r"\\(.)")
 
+# unquoted property_value object: CURIE whose prefix starts with a letter
+_OBJ_CURIE_RE = re.compile(r"^[A-Za-z_][\w.-]*:[^\s]+$")
+_NON_OBJECT_SCHEMES = frozenset(
+    {"http", "https", "ftp", "urn", "mailto", "file"}
+)
+
 _TYPEDEF_ONLY_TAGS = frozenset(
     {  # OBO 1.4 typedef-only tags (struct.py:2254-2318)
         "domain", "range", "inverse_of", "transitive_over",
@@ -244,16 +250,26 @@ def parse_obo_text(text: str) -> ParsedOntology:
                     po.idspaces[parts[0]] = parts[1]
             continue
 
-        if stanza_type == "Typedef" and tag in _TYPEDEF_ONLY_TAGS:
-            # typedef-only OBO 1.4 fields (struct.py:2254-2318); kept off
-            # the Term handlers so e.g. a typedef's is_a/comment never
-            # leaks into the term parents/properties tables
-            td = cur.setdefault("_td", {})
-            if tag == "holds_over_chain":
-                td.setdefault(tag, []).append(value)
-            else:
-                td[tag] = value
-            continue
+        if stanza_type == "Typedef":
+            if tag in _TYPEDEF_ONLY_TAGS:
+                # typedef-only OBO 1.4 fields (struct.py:2254-2318)
+                td = cur.setdefault("_td", {})
+                if tag == "holds_over_chain":
+                    td.setdefault(tag, []).append(value)
+                else:
+                    td[tag] = value
+                continue
+            if tag not in ("id", "name", "namespace", "is_obsolete", "def"):
+                # a typedef's own is_a/xref/synonym/subset/alt_id/
+                # relationship lines belong to the TypeDef stanza
+                # (struct.py:2254-2318 parents/xrefs/synonyms fields),
+                # NOT to the term tables — letting the Term handlers run
+                # here would pollute hierarchy closures with predicate
+                # ids, feed typedef xrefs into the treat-xrefs-as-*
+                # upgrade, and inject predicate labels into grounding
+                # dictionaries. Dropped until typedef-level hierarchy
+                # is modeled.
+                continue
 
         if tag == "id":
             cur["id"] = value
@@ -405,12 +421,15 @@ def parse_obo_text(text: str) -> ParsedOntology:
                     rest = val[m.end():].strip() if m else ""
                     val = _unescape(m.group("text")) if m else val
                     dtype = rest.split()[0] if rest else None
-                elif ":" in val and " " not in val and not val.startswith(
-                    ("http://", "https://")
-                ):
+                elif _OBJ_CURIE_RE.match(val) and val.split(":", 1)[
+                    0
+                ].lower() not in _NON_OBJECT_SCHEMES:
                     # unquoted CURIE object, no datatype → OBJECT property
                     # (reference splits literal vs object annotations,
-                    # struct.py:1716-1723 / _iterate_obo_properties)
+                    # struct.py:1716-1723 / _iterate_obo_properties).
+                    # The prefix must start with a letter so unquoted
+                    # literal-ish values (ISO datetimes, '1:500' ratios)
+                    # stay literal, and URI schemes are excluded.
                     po.object_properties.append(
                         {
                             "source_curie": f"{prefix.lower()}:{local}",

@@ -320,3 +320,55 @@ property_value: IAO:0000412 http://example.org/page
             for p in po.properties}
     assert ("IAO:0000412", "hello world", "xsd:string") in vals
     assert ("IAO:0000412", "http://example.org/page", None) in vals
+
+
+def test_typedef_stanza_tags_do_not_leak_into_term_tables():
+    """A typedef's own is_a/xref/synonym/subset/alt_id/relationship lines
+    must NOT land in the term tables (GO's regulates family is the
+    canonical real-world case)."""
+    obo = """format-version: 1.4
+ontology: go
+treat-xrefs-as-equivalent: ro
+
+[Term]
+id: GO:1
+
+[Typedef]
+id: negatively_regulates
+name: negatively regulates
+is_a: regulates
+xref: RO:0002212
+synonym: "inhibits" EXACT []
+subset: goslim_generic
+alt_id: old_rel
+relationship: part_of regulates
+"""
+    po = parse_obo_text(obo)
+    assert po.parents == []
+    assert po.xrefs == []          # typedef xref must not hit macros either
+    assert po.synonyms == []
+    assert po.subsets == []
+    assert po.alts == []
+    assert po.relations == []
+    assert po.typedefs[0]["name"] == "negatively regulates"
+
+
+def test_unquoted_literalish_property_values_stay_literal():
+    """ISO datetimes, ratios, and urn:/ftp: URIs are unquoted values
+    containing ':' but are NOT CURIE objects."""
+    obo = """format-version: 1.4
+ontology: tst
+
+[Term]
+id: TST:1
+property_value: dcterms:created 2024-01-01T12:30:00Z
+property_value: ex:ratio 1:500
+property_value: ex:loc urn:isbn:0451450523
+property_value: ex:ftp ftp://host/file
+property_value: RO:0000087 CHEBI:456
+"""
+    po = parse_obo_text(obo)
+    assert [o["target_curie"] for o in po.object_properties] == ["CHEBI:456"]
+    lits = {p["value"] for p in po.properties}
+    assert lits == {"2024-01-01T12:30:00Z", "1:500",
+                    "urn:isbn:0451450523", "ftp://host/file"}
