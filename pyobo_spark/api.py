@@ -452,24 +452,43 @@ class OntologyCatalog:
             )
         return lm
 
-    def get_grounder(self, prefix: str, skip_obsolete: bool = False):
-        """ner/api.py:30-58 — broadcast hybrid matcher. Cached per
-        (prefix, skip_obsolete): a single shared slot would silently
-        reuse the first ontology's dictionary for every other prefix in
-        a multi-ontology catalog."""
-        key = (prefix, skip_obsolete)
+    def get_grounder(
+        self, prefix: str | tuple[str, ...] | list[str],
+        skip_obsolete: bool = False,
+    ):
+        """ner/api.py:30-58 — broadcast hybrid matcher. Accepts one
+        prefix or several (the reference grounds against an Iterable of
+        namespaces, normalizer.py:41-53 — one combined dictionary).
+        Cached per (prefixes, skip_obsolete): a single shared slot would
+        silently reuse the first ontology's dictionary for every other
+        prefix in a multi-ontology catalog."""
+        prefixes = (
+            (prefix,) if isinstance(prefix, str) else tuple(prefix)
+        )
+        key = (prefixes, skip_obsolete)
         if key not in self._grounders:
-            entries = _dict.dictionary_entries(
-                self.get_literal_mappings_df(prefix, skip_obsolete)
-            )
+            entries: list = []
+            for p in prefixes:
+                entries.extend(
+                    _dict.dictionary_entries(
+                        self.get_literal_mappings_df(p, skip_obsolete)
+                    )
+                )
             self._grounders[key] = _dict.broadcast_matcher(
                 self._spark, _dict.build_matcher(entries)
             )
         return self._grounders[key]
 
-    def ground(self, prefix: str, text: str) -> str | None:
+    def ground(
+        self,
+        prefix: str | tuple[str, ...] | list[str],
+        text: str,
+        strict_match: bool = False,
+    ) -> str | None:
         """pyobo.ground (ner/normalizer.py:41-62): best match for one
-        string — driver-side convenience over the same matcher."""
+        string — driver-side convenience over the same matcher. With
+        several prefixes, grounds against the combined dictionary;
+        strict_match raises instead of returning None."""
         m = self.get_grounder(prefix).value
         tokens = _dict.fold_text(text).split(" ")
         best = None
@@ -477,6 +496,10 @@ class OntologyCatalog:
             key = (-score, -(end - start), curie)
             if best is None or key < best[0]:
                 best = (key, curie)
+        if best is None and strict_match:
+            raise ValueError(
+                f"no match found for query: {text} against prefixes: {prefix}"
+            )
         return best[1] if best else None
 
     def ground_df(self, prefix: str, documents: DataFrame) -> DataFrame:

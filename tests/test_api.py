@@ -189,3 +189,32 @@ name: b-root
         for r in cat.get_hierarchy("aaa").collect()
     }
     assert edges == {("aaa:2", "aaa:1")}
+
+
+def test_multi_prefix_grounding(spark):
+    """pyobo.ground accepts an Iterable of prefixes (normalizer.py:41-53):
+    one combined dictionary, tried together; strict_match raises."""
+    import pytest
+
+    from pyobo_spark.api import catalog_from_obo
+
+    a = """format-version: 1.4
+ontology: aona
+
+[Term]
+id: AONA:1
+name: alpha compound
+"""
+    b = """format-version: 1.4
+ontology: bonb
+
+[Term]
+id: BONB:7
+name: beta compound
+"""
+    cat = catalog_from_obo(spark, [("aona", a), ("bonb", b)])
+    assert cat.ground(["aona", "bonb"], "alpha compound") == "aona:1"
+    assert cat.ground(["aona", "bonb"], "beta compound") == "bonb:7"
+    assert cat.ground(["aona"], "beta compound") is None
+    with pytest.raises(ValueError):
+        cat.ground("aona", "no such thing", strict_match=True)
