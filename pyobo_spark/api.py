@@ -67,7 +67,8 @@ class OntologyCatalog:
         self.subsets = tables.get("subsets")
         self.metadata = tables.get("metadata")
         self._spark = self.terms.sparkSession
-        self._grounders: dict[tuple[str, bool], object] = {}
+        self._grounders: dict[tuple[tuple[str, ...], bool], object] = {}
+        self._dict_entries: dict[tuple[str, bool], list] = {}
 
     # ---- names (api/names.py) ----
     def get_ids(self, prefix: str) -> set[str]:
@@ -210,7 +211,11 @@ class OntologyCatalog:
         )
         if not rows:
             return None
-        return f"{rows[0]['replacement_prefix']}:{rows[0]['replacement_id']}"
+        # replaced_by is legally multi-valued; collect order is not —
+        # take the sorted minimum for a deterministic answer
+        return min(
+            f"{r['replacement_prefix']}:{r['replacement_id']}" for r in rows
+        )
 
     def get_considers(self, prefix: str, identifier: str) -> list[str]:
         """consider: alternatives for an obsolete term (CURIEs)."""
@@ -352,6 +357,11 @@ class OntologyCatalog:
 
         return self._spark.createDataFrame([], schemas.OBJECT_PROPERTIES)
 
+    def _empty_object_props_literal(self) -> DataFrame:
+        from . import schemas
+
+        return self._spark.createDataFrame([], schemas.LITERAL_PROPERTIES)
+
     # ---- hierarchy (api/hierarchy.py) ----
     def get_hierarchy(self, prefix: str, **kw) -> DataFrame:
         return hierarchy.hierarchy_edges(
@@ -360,8 +370,14 @@ class OntologyCatalog:
 
     @staticmethod
     def _as_curie(prefix: str, ref: str) -> str:
-        """Accept a bare local id (scoped to `prefix`) or a full CURIE."""
-        return ref if ":" in ref else f"{prefix}:{ref}"
+        """Accept a bare local id (scoped to `prefix`) or a full CURIE.
+        The stored prefixes are lowercase (reader normalization), so a
+        canonical uppercase CURIE ('CHEBI:24431') must be folded or the
+        lookup silently misses."""
+        if ":" not in ref:
+            return f"{prefix}:{ref}"
+        p, i = ref.split(":", 1)
+        return f"{p.lower()}:{i}"
 
     def get_hierarchy_nodes(
         self, prefix: str, properties: tuple[str, ...] = ()
@@ -371,9 +387,7 @@ class OntologyCatalog:
         props = (
             self.properties
             if self.properties is not None
-            else self._spark.createDataFrame(
-                [], "source_curie string, predicate_curie string, value string"
-            )
+            else self._empty_object_props_literal()
         )
         return hierarchy.hierarchy_nodes(
             self.terms, props, prefix, property_predicates=properties
@@ -467,17 +481,34 @@ class OntologyCatalog:
         )
         key = (prefixes, skip_obsolete)
         if key not in self._grounders:
+            # entry lists cached per SINGLE prefix so a combined-prefix
+            # grounder re-collects nothing; matcher broadcasts are still
+            # per requested combination — call clear_grounders() to
+            # unpersist them all when a long-lived catalog rotates
+            # dictionaries
             entries: list = []
             for p in prefixes:
-                entries.extend(
-                    _dict.dictionary_entries(
+                ekey = (p, skip_obsolete)
+                if ekey not in self._dict_entries:
+                    self._dict_entries[ekey] = _dict.dictionary_entries(
                         self.get_literal_mappings_df(p, skip_obsolete)
                     )
-                )
+                entries.extend(self._dict_entries[ekey])
             self._grounders[key] = _dict.broadcast_matcher(
                 self._spark, _dict.build_matcher(entries)
             )
         return self._grounders[key]
+
+    def clear_grounders(self) -> None:
+        """Unpersist every cached broadcast matcher (memory release for
+        long-lived multi-ontology catalogs)."""
+        for bc in self._grounders.values():
+            try:
+                bc.unpersist()
+            except Exception:  # noqa: BLE001 — already released
+                pass
+        self._grounders.clear()
+        self._dict_entries.clear()
 
     def ground(
         self,

@@ -180,7 +180,11 @@ def obo_stanzas(
                         F.concat(
                             F.when(
                                 F.col("relation_id").contains(":")
-                                | (F.col("relation_prefix") == ""),
+                                | (F.col("relation_prefix") == "")
+                                # ungrounded bare labels are stored as
+                                # (label, label) — emit the label once
+                                | (F.col("relation_prefix")
+                                   == F.col("relation_id")),
                                 F.col("relation_id"),
                             ).otherwise(
                                 F.concat(
@@ -260,9 +264,13 @@ def obo_typedef_stanzas(typedefs: DataFrame, prefix: str) -> DataFrame:
     (struct.py:2254-2318 / TypeDef.iterate_obo_lines). One row per
     typedef: (identifier, stanza_text). Boolean flags are emitted only
     when set; reference CURIEs as-is."""
-    # no prefix filter: typedef ids live in predicate namespaces (BFO/RO/
-    # local), all of which belong to the document being serialized
+    # typedef CURIE prefixes are predicate namespaces (BFO/RO/local), so
+    # ownership is tracked by the `ontology` column — filter on it when
+    # present so a multi-document catalog serializes only the requested
+    # document's typedefs
     t = typedefs
+    if prefix is not None and "ontology" in typedefs.columns:
+        t = typedefs.where(F.col("ontology") == prefix)
 
     def opt_line(tag, col):
         return F.when(

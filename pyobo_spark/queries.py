@@ -1404,18 +1404,27 @@ WHERE string_split(object_id, ':')[1] NOT IN
 
 # ----- non-SQL-expressible ops (driver records rows-only checks) -----------
 
-def q_minhash_near_duplicates(spark, sf_dir):
-    docs = tp.load(spark, sf_dir, "documents")
-    # plant deterministic near-dups: copy of each 10th doc missing its
-    # first token, shifted id — so the operator provably finds pairs
-    planted = (
-        docs.where(F.col("doc_id") % 10 == 0)
-        .select(
-            (F.col("doc_id") + 10_000_000).alias("doc_id"),
-            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
-        )
+def _plant_near_duplicates(docs):
+    """Deterministic near-dup planting shared by the MinHash-LSH query
+    and its exact n-gram verification counterpart: a copy of each 10th
+    doc missing its first token, id shifted by 10_000_000. Returns
+    (corpus, candidate_pairs) — the scheme MUST stay identical in both
+    queries or the LSH path and its oracle-verified twin decouple."""
+    base = docs.where(F.col("doc_id") % 10 == 0)
+    planted = base.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
     )
     corpus = docs.select("doc_id", "text").unionByName(planted)
+    pairs = base.select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 10_000_000).alias("doc_b"),
+    )
+    return corpus, pairs
+
+
+def q_minhash_near_duplicates(spark, sf_dir):
+    corpus, _ = _plant_near_duplicates(tp.load(spark, sf_dir, "documents"))
     return dedup.minhash_near_duplicates(corpus, threshold=0.5)
 
 
@@ -1424,15 +1433,7 @@ def q_simhash(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    docs = tp.load(spark, sf_dir, "documents")
-    planted = (
-        docs.where(F.col("doc_id") % 10 == 0)
-        .select(
-            (F.col("doc_id") + 10_000_000).alias("doc_id"),
-            F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
-        )
-    )
-    corpus = docs.select("doc_id", "text").unionByName(planted)
+    corpus, _ = _plant_near_duplicates(tp.load(spark, sf_dir, "documents"))
     sigs = dedup.minhash_signatures(corpus)
     cands = dedup.minhash_lsh_candidates(sigs)
     return dedup.ngram_jaccard_pairs(corpus, cands.select("doc_a", "doc_b"))
@@ -1526,16 +1527,8 @@ def q_ngram_jaccard_planted(spark, sf_dir):
     the n-gram verify kernel a full DuckDB oracle, unlike the
     LSH-candidate path (whose candidates come from xxhash64 MinHash and
     are inherently engine-specific)."""
-    docs = tp.load(spark, sf_dir, "documents")
-    base = docs.where(F.col("doc_id") % 10 == 0)
-    planted = base.select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.expr("substring(text, instr(text, ' ') + 1)").alias("text"),
-    )
-    corpus = base.select("doc_id", "text").unionByName(planted)
-    cands = base.select(
-        F.col("doc_id").alias("doc_a"),
-        (F.col("doc_id") + 10_000_000).alias("doc_b"),
+    corpus, cands = _plant_near_duplicates(
+        tp.load(spark, sf_dir, "documents")
     )
     return dedup.ngram_jaccard_pairs(corpus, cands)
 

@@ -80,12 +80,16 @@ def read_nomenclature_jsonl(
     if _has(df, spec.xref):
         xref = F.col(spec.xref).cast("string")
         out["xrefs"] = (
-            df.where(xref.isNotNull())
+            # require a real CURIE — a colon-less value would yield a
+            # NULL target_id against a non-nullable schema contract
+            df.where(xref.isNotNull() & xref.contains(":"))
             .select(
                 F.lit(spec.prefix).alias("prefix"),
                 ident,
                 F.lit("oboInOwl:hasDbXref").alias("predicate"),
-                F.split(xref, ":", 2)[0].alias("target_prefix"),
+                # lowercase like obo_reader, or cross-source joins on
+                # target_prefix treat MESH and mesh as two namespaces
+                F.lower(F.split(xref, ":", 2)[0]).alias("target_prefix"),
                 F.split(xref, ":", 2)[1].alias("target_id"),
                 F.lit(None).cast("string").alias("provenance"),
             )

@@ -166,6 +166,11 @@ def parse_obo_text(text: str) -> ParsedOntology:
 
             po.typedefs.append(
                 {
+                    # the CURIE prefix is a predicate namespace (BFO/RO/
+                    # local); `ontology` records which document OWNS the
+                    # stanza — needed to serialize per-document typedefs
+                    # out of a multi-ontology catalog
+                    "ontology": po.prefix,
                     "prefix": prefix or po.prefix,
                     "identifier": local,
                     "name": cur.get("name"),
@@ -467,7 +472,10 @@ def parse_obo_text(text: str) -> ParsedOntology:
                 hit = ground_relation(pred)
                 if hit:
                     return hit
-            return rp, ri
+            # ungrounded bare label: same (label, label) encoding the
+            # direct `relationship:` tag handler uses — the two paths
+            # must agree or predicate-CURIE filters match only one form
+            return rp or pred, ri
 
         # 'PREFIX pred TARGET' → prefix ↦ (pred_ref, target_curie)
         # (reader.py:639-665; malformed lines are skipped, as in plana)
@@ -637,6 +645,7 @@ def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
     )
     typedefs_schema = T.StructType(
         [
+            T.StructField("ontology", T.StringType()),
             T.StructField("prefix", T.StringType()),
             T.StructField("identifier", T.StringType()),
             T.StructField("name", T.StringType()),

@@ -218,3 +218,18 @@ name: beta compound
     assert cat.ground(["aona"], "beta compound") is None
     with pytest.raises(ValueError):
         cat.ground("aona", "no such thing", strict_match=True)
+
+
+def test_hierarchy_api_accepts_uppercase_curies(spark):
+    """Canonical uppercase CURIEs fold to the stored lowercase prefixes
+    (a raw pass-through silently returned empty closures)."""
+    from pyobo_spark.api import catalog_from_obo
+
+    cat = catalog_from_obo(
+        spark,
+        [("chebi", open("/root/reference/tests/resources/test_chebi.obo").read())],
+    )
+    assert cat.get_ancestors("chebi", "CHEBI:24870") == cat.get_ancestors(
+        "chebi", "24870"
+    )
+    assert cat.has_ancestor("chebi", "24870", "CHEBI:24431")

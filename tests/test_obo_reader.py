@@ -219,7 +219,7 @@ def test_all_four_xref_macros():
     }
     # relationship: MA xref becomes a relation with predicate homologous_to
     rel = [r for r in po.relations if r["target_prefix"] == "ma"]
-    assert rel and (rel[0]["relation_prefix"], rel[0]["relation_id"]) in (("", "homologous_to"), ("RO", "HOM0000007"))
+    assert rel and (rel[0]["relation_prefix"], rel[0]["relation_id"]) in (("homologous_to", "homologous_to"), ("RO", "HOM0000007"))
     assert rel[0]["target_id"] == "0000168"
     # is_a: BILA xref becomes a parent with the foreign prefix preserved
     assert {"child_prefix": "fbbt", "child": "0000001",

@@ -188,3 +188,30 @@ inverse_of: BFO:0000051
     assert td["holds_over_chain"] == [["BFO:0000050", "BFO:0000050"]]
     assert td["is_transitive"] is True
     assert td["inverse_of"] == "BFO:0000051"
+
+
+def test_typedef_serialization_scoped_to_owning_document(spark):
+    """A multi-document catalog serializes only the requested document's
+    typedefs (ownership tracked by the `ontology` column, since typedef
+    CURIE prefixes are predicate namespaces like BFO shared across
+    documents)."""
+    from pyobo_spark.sources.obo_reader import parse_obo_files
+
+    a = """format-version: 1.4
+ontology: aona
+
+[Typedef]
+id: BFO:0000050
+name: part of
+"""
+    b = """format-version: 1.4
+ontology: bonb
+
+[Typedef]
+id: RO:0002212
+name: negatively regulates
+"""
+    tables = parse_obo_files(spark, [("aona", a), ("bonb", b)])
+    td = obo_writer.obo_typedef_stanzas(tables["typedefs"], "aona").collect()
+    assert len(td) == 1 and "part of" in td[0]["stanza_text"]
+    assert "negatively regulates" not in td[0]["stanza_text"]
