@@ -1443,6 +1443,53 @@ def q_language_id(spark, sf_dir):
     return textstats.language_id(tp.load(spark, sf_dir, "documents"))
 
 
+def _lang_profiles_sql() -> str:
+    """Materialize the language trigram profiles as a VALUES clause so
+    the DuckDB oracle replicates the exact profile-overlap scoring
+    (ties break toward the earlier profile, matching dict order)."""
+    from .operators.textstats import _LANG_PROFILES
+
+    rows = []
+    for i, (lang, grams) in enumerate(_LANG_PROFILES.items()):
+        lit = ", ".join("'" + g.replace("'", "''") + "'" for g in grams)
+        rows.append(f"('{lang}', {i}, [{lit}])")
+    return ",\n       ".join(rows)
+
+
+SQL_LANGUAGE_ID = f"""
+WITH profiles(lang, ord, grams) AS (
+  VALUES {_lang_profiles_sql()}
+),
+docs AS (
+  SELECT doc_id, substr(coalesce(text, ''), 1, 500) AS s FROM documents
+),
+doc_grams AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(s) - 2, 0) + 1),
+           i -> substr(s, CAST(i AS INTEGER), 3)
+         )) AS g
+  FROM docs
+),
+scored AS (
+  SELECT doc_id, lang, ord,
+         CAST(length(list_intersect(g, p.grams)) AS DOUBLE)
+           / length(p.grams) AS score
+  FROM doc_grams CROSS JOIN profiles p
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, ord ASC) AS rn
+  FROM scored
+)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred,
+       round(CASE WHEN score > 0 THEN score ELSE 0.0 END, 4) AS lang_score
+FROM best WHERE rn = 1
+"""
+
+
 def q_ann_cosine_lsh(spark, sf_dir):
     emb = tp.load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
@@ -1731,6 +1778,7 @@ ORACLES: dict[str, str] = {
     "sssom_with_justification": SQL_SSSOM_WITH_JUSTIFICATION,
     "semantic_mappings": SQL_SEMANTIC_MAPPINGS,
     "hierarchy_nodes": SQL_HIERARCHY_NODES,
+    "language_id": SQL_LANGUAGE_ID,
     "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
     "media_digest": SQL_MEDIA_DIGEST,
     "events_sessionize_native": SQL_EVENTS_SESSIONIZE_NATIVE,
