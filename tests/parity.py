@@ -78,7 +78,12 @@ def main():
     for name in names:
         try:
             df = Q.QUERIES[name](spark, sf_dir)
-            ok, msg = compare(df, con, Q.ORACLES[name])
+            if name not in Q.ORACLES:
+                # rows-only query (no SQL twin) — run it and report rows
+                n = df.count()
+                ok, msg = True, f"rows-only ({n} rows, no oracle)"
+            else:
+                ok, msg = compare(df, con, Q.ORACLES[name])
         except Exception as e:  # noqa: BLE001
             ok, msg = False, f"EXC {type(e).__name__}: {e}"
         print(f"{'PASS' if ok else 'FAIL'} {name}: {msg}", flush=True)
