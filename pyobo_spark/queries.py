@@ -863,7 +863,8 @@ tagged AS (
                              ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM ordered
 )
-SELECT user_id, session_seq, count(*) AS n_events,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM tagged GROUP BY user_id, session_seq
 """
