@@ -341,7 +341,7 @@ class OntologyCatalog:
         # per-prefix like the reference (api/properties.py): without this
         # filter a multi-ontology catalog would return every other
         # ontology's rows with unstripped CURIEs as identifiers
-        mine = F.col("source_curie").startswith(f"{prefix}:")
+        mine = F.col("source_curie").startswith(f"{prefix.lower()}:")
         return exports.properties_combined(
             self.properties.where(mine), obj.where(mine), prefix
         )
@@ -479,7 +479,10 @@ class OntologyCatalog:
         prefixes = (
             (prefix,) if isinstance(prefix, str) else tuple(prefix)
         )
-        key = (prefixes, skip_obsolete)
+        # order-insensitive key: the built matcher is identical for any
+        # permutation of the same prefix set, so ('a','b') and ('b','a')
+        # must share one broadcast dictionary
+        key = (tuple(sorted(set(prefixes))), skip_obsolete)
         if key not in self._grounders:
             # entry lists cached per SINGLE prefix so a combined-prefix
             # grounder re-collects nothing; matcher broadcasts are still

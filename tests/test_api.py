@@ -145,8 +145,7 @@ name: new thing
     assert cat.get_considers("tsto", "1") == ["tsto:3", "xx:9"]
     # grounder cache is keyed per prefix: grounding works for BOTH
     # ontologies in the same catalog (regression for the shared-slot bug)
-    assert cat.ground("tsto", "new thing") == "tsto:0000002" or \
-        cat.ground("tsto", "new thing") == "tsto:2"
+    assert cat.ground("tsto", "new thing") == "tsto:2"
     assert cat.ground("chebi", "chemical entity") == "chebi:24431"
 
 
