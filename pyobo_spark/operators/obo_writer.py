@@ -21,6 +21,29 @@ PREDICATE_TO_SPEC = {
 }
 
 
+def _preferred_case(prefix: str) -> str:
+    """Canonical output casing for a prefix (reference: bioregistry
+    preferred prefix via Reference.preferred_curie) — registry preferred
+    casing when known, else the stored prefix unchanged. Never blanket
+    uppercase: 'ncbitaxon' must serialize as NCBITaxon, not NCBITAXON."""
+    from ..normalize.registry import Registry
+
+    rec = Registry.default().records.get(prefix.strip().lower())
+    return rec.preferred if rec is not None else prefix
+
+
+def _pc(col):
+    """Column form of :func:`_preferred_case` via a broadcast-literal map."""
+    from ..normalize.registry import Registry
+
+    pairs = [
+        x
+        for rec in Registry.default().records.values()
+        for x in (F.lit(rec.prefix), F.lit(rec.preferred))
+    ]
+    return F.coalesce(F.create_map(*pairs)[F.lower(col)], col)
+
+
 def _esc(col):
     """OBO escaping (obo_escape_slim, struct.py:205-207): backslash,
     quote, newline, tab."""
@@ -49,7 +72,7 @@ def obo_stanzas(
     Returns (identifier, stanza_text), stanza-internal lines in the
     reference's tag order (id, name, def, alt_id, synonym, xref, is_a,
     relationship, is_obsolete), each multi-valued tag sorted."""
-    up = prefix.upper()
+    up = _preferred_case(prefix)
 
     def tagged(df, order, line_col):
         return df.select(
@@ -112,7 +135,7 @@ def obo_stanzas(
             xr,
             5,
             F.concat(
-                F.lit("xref: "), F.col("target_prefix"), F.lit(":"),
+                F.lit("xref: "), _pc(F.col("target_prefix")), F.lit(":"),
                 F.col("target_id"),
             ),
         )
@@ -124,7 +147,7 @@ def obo_stanzas(
             6,
             # parent keeps its own prefix (may be foreign via macros)
             F.concat(
-                F.lit("is_a: "), F.upper(F.col("parent_prefix")),
+                F.lit("is_a: "), _pc(F.col("parent_prefix")),
                 F.lit(":"), F.col("parent"),
             ),
         )
@@ -138,7 +161,7 @@ def obo_stanzas(
                 F.lit("relationship: "),
                 F.col("relation_prefix"), F.lit(":"), F.col("relation_id"),
                 F.lit(" "),
-                F.upper(F.col("target_prefix")), F.lit(":"), F.col("target_id"),
+                _pc(F.col("target_prefix")), F.lit(":"), F.col("target_id"),
             ),
         )
     )
@@ -195,7 +218,7 @@ def obo_stanzas(
                             F.lit(" "),
                         )
                     ),
-                    F.upper(F.col("target_prefix")), F.lit(":"),
+                    _pc(F.col("target_prefix")), F.lit(":"),
                     F.col("target_id"),
                 ),
             )
@@ -207,7 +230,7 @@ def obo_stanzas(
                 8.5,
                 F.concat(
                     F.lit("replaced_by: "),
-                    F.upper(F.col("replacement_prefix")), F.lit(":"),
+                    _pc(F.col("replacement_prefix")), F.lit(":"),
                     F.col("replacement_id"),
                 ),
             )
@@ -219,7 +242,7 @@ def obo_stanzas(
                 8.7,
                 F.concat(
                     F.lit("consider: "),
-                    F.upper(F.col("consider_prefix")), F.lit(":"),
+                    _pc(F.col("consider_prefix")), F.lit(":"),
                     F.col("consider_id"),
                 ),
             )
@@ -257,6 +280,41 @@ def obo_document(stanzas: DataFrame, prefix: str, version: str = "1") -> str:
         f"format-version: 1.4\nontology: {prefix}\ndata-version: {version}\n"
     )
     return header + "\n" + "\n\n".join(r["stanza_text"] for r in rows) + "\n"
+
+
+def write_obo_document(
+    stanzas: DataFrame, path: str, prefix: str, version: str = "1"
+) -> None:
+    """Distributed OBO text sink — byte-identical to
+    :func:`obo_document` but never collects to the driver, so an
+    ncbigene-sized ontology (~56.7M terms, reference
+    cli/database_utils.py:39) streams straight from executors to disk.
+
+    Mechanics: `write.text` emits each row's `value` followed by one
+    newline, so the header row carries the header minus its final
+    newline and every stanza row is prefixed with the blank separator
+    line. A global `orderBy(ord, identifier)` range-partitions the rows
+    in document order; concatenating the part files in filename order
+    reproduces the deterministic-output contract (utils/io.py:134)."""
+    spark = stanzas.sparkSession
+    header = (
+        f"format-version: 1.4\nontology: {prefix}\ndata-version: {version}"
+    )
+    hdr = spark.createDataFrame(
+        [(0, "", header)], "ord int, identifier string, value string"
+    )
+    body = stanzas.select(
+        F.lit(1).alias("ord"),
+        F.col("identifier"),
+        F.concat(F.lit("\n"), F.col("stanza_text")).alias("value"),
+    )
+    (
+        hdr.unionByName(body)
+        .orderBy("ord", "identifier")
+        .select("value")
+        .write.mode("overwrite")
+        .text(path)
+    )
 
 
 def obo_typedef_stanzas(typedefs: DataFrame, prefix: str) -> DataFrame:

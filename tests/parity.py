@@ -47,6 +47,27 @@ def canon_rows(cols, rows):
     )
 
 
+def _dtype_kinds(spark_df, rel) -> tuple[bool, str]:
+    """Driver hash is dtype-sensitive (the r02 events_sessionize HUGEINT
+    lesson): a DuckDB hugeint/decimal column hashes differently from a
+    Spark bigint even when every value is equal.  Compare the pandas
+    dtypes both results materialize to and flag any kind mismatch."""
+    import pandas as pd  # noqa: F401
+
+    s_pd = spark_df.toPandas()
+    d_pd = rel.df()
+    bad = []
+    for c in sorted(s_pd.columns):
+        sk = s_pd[c].dtype.kind
+        dk = d_pd[c].dtype.kind
+        # datetime64[us] vs [ns] is fine; int64 vs object/float64 is not
+        if sk != dk:
+            bad.append(f"{c}: spark={s_pd[c].dtype} duck={d_pd[c].dtype}")
+    if bad:
+        return False, "DTYPE " + "; ".join(bad)
+    return True, ""
+
+
 def compare(spark_df, con, sql: str) -> tuple[bool, str]:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -63,6 +84,9 @@ def compare(spark_df, con, sql: str) -> tuple[bool, str]:
         diff_a = [r for r in a if r not in set(map(tuple, b))][:3]
         diff_b = [r for r in b if r not in set(map(tuple, a))][:3]
         return False, f"value mismatch; spark-only={diff_a} duck-only={diff_b}"
+    ok, msg = _dtype_kinds(spark_df, con.sql(sql))
+    if not ok:
+        return False, msg
     return True, f"ok ({len(s_rows)} rows)"
 
 

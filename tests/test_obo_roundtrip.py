@@ -215,3 +215,45 @@ name: negatively regulates
     td = obo_writer.obo_typedef_stanzas(tables["typedefs"], "aona").collect()
     assert len(td) == 1 and "part of" in td[0]["stanza_text"]
     assert "negatively regulates" not in td[0]["stanza_text"]
+
+
+def test_preferred_prefix_casing(spark, tables):
+    """Emitted CURIEs use registry preferred casing, not blanket upper:
+    ncbitaxon -> NCBITaxon; unregistered prefixes pass through unchanged
+    (ADVICE r02: F.upper mangled mixed-case prefixes)."""
+    xrefs = spark.createDataFrame(
+        [("fixo", "0000001", "oboInOwl:hasDbXref", "ncbitaxon", "9606"),
+         ("fixo", "0000001", "oboInOwl:hasDbXref", "myweird", "1")],
+        "prefix string, identifier string, predicate string, "
+        "target_prefix string, target_id string",
+    )
+    empty = tables["synonyms"].limit(0)
+    stanzas = obo_writer.obo_stanzas(
+        tables["terms"].where("identifier = '0000001'"), empty, xrefs,
+        tables["relations"].limit(0),
+        tables["parents"].limit(0), tables["alts"].limit(0),
+        prefix="fixo",
+    )
+    text = stanzas.collect()[0]["stanza_text"]
+    assert "xref: NCBITaxon:9606" in text
+    assert "NCBITAXON" not in text
+    assert "xref: myweird:1" in text
+
+
+def test_write_obo_document_distributed(spark, tables, tmp_path):
+    """Distributed write.text sink is byte-identical to the driver-side
+    obo_document (VERDICT r02: remove the collect() from the OBO export
+    path)."""
+    import glob
+
+    stanzas = obo_writer.obo_stanzas(
+        tables["terms"], tables["synonyms"], tables["xrefs"],
+        tables["relations"], tables["parents"], tables["alts"],
+        prefix="fixo",
+    )
+    want = obo_writer.obo_document(stanzas, "fixo", "7")
+    out = str(tmp_path / "fixo_obo")
+    obo_writer.write_obo_document(stanzas, out, "fixo", "7")
+    parts = sorted(glob.glob(out + "/part-*"))
+    got = "".join(open(p).read() for p in parts)
+    assert got == want
