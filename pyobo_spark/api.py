@@ -167,15 +167,26 @@ class OntologyCatalog:
 
     # ---- metadata / versions (api/metadata.py, utils/ver) ----
     def get_version(self, prefix: str) -> str | None:
-        """api/metadata.py:24-34 / utils/ver — the ontology's
-        data-version header."""
+        """api/metadata.py:24-34 — the ontology's data-version header,
+        run through the reference's cleanup_version rule pipeline
+        (utils/misc.py:78-118) with date fallback."""
+        from .normalize.version import prioritize_version
+
         if self.metadata is None:
             return None
-        rows = (
-            self.metadata.where(F.col("prefix") == prefix)
-            .select("version").collect()
-        )
-        return rows[0]["version"] if rows else None
+        rows = self.metadata.where(F.col("prefix") == prefix).collect()
+        if not rows:
+            return None
+        r = rows[0]
+        date = r["date"] if "date" in r.__fields__ else None
+        if isinstance(date, str):
+            try:
+                from datetime import datetime
+
+                date = datetime.strptime(date[:10], "%Y-%m-%d")
+            except ValueError:
+                date = None
+        return prioritize_version(r["version"], prefix, date=date)
 
     def get_metadata(self, prefix: str) -> dict | None:
         """Version + date metadata dict (VersionMetadata shape)."""
@@ -392,6 +403,48 @@ class OntologyCatalog:
         return hierarchy.hierarchy_nodes(
             self.terms, props, prefix, property_predicates=properties
         )
+
+    def get_text_embeddings_df(
+        self, prefix: str, dim: int | None = None
+    ) -> DataFrame:
+        """Term-keyed embedding artifact (reference api/embedding.py:52-169,
+        get_text_embeddings_df): one row per named term, (prefix,
+        identifier, curie, vector). Deterministic stub kernel — see
+        operators/embeddings.py docstring."""
+        from .operators import embeddings as E
+
+        kw = {} if dim is None else {"dim": dim}
+        return E.term_embeddings(
+            self.terms.where(F.col("prefix") == prefix.lower()), **kw
+        )
+
+    def get_embedding_similarity(
+        self, prefix: str, identifier_a: str, identifier_b: str
+    ) -> float | None:
+        """Cosine similarity between two terms' embedding vectors
+        (reference api/embedding.py:212-252)."""
+        from .operators import embeddings as E
+
+        emb = self.get_text_embeddings_df(prefix)
+        return E.embedding_similarity(
+            emb,
+            self._as_curie(prefix, identifier_a),
+            self._as_curie(prefix, identifier_b),
+        )
+
+    def get_nearest_terms(
+        self, prefix: str, identifier: str, k: int = 5
+    ) -> list[tuple[str, float]]:
+        """Top-k nearest terms by embedding cosine (the reference's
+        similarity lookup shape)."""
+        from .operators import embeddings as E
+
+        emb = self.get_text_embeddings_df(prefix)
+        q = self._spark.createDataFrame(
+            [(self._as_curie(prefix, identifier),)], "curie string"
+        )
+        rows = E.nearest_terms(emb, q, k=k).collect()
+        return [(r["neighbor_curie"], r["cosine"]) for r in rows]
 
     def get_ancestors(self, prefix: str, identifier: str) -> set[str]:
         """Returns CURIE strings (reference returns set[Reference],

@@ -359,6 +359,19 @@ def obo_typedef_stanzas(typedefs: DataFrame, prefix: str) -> DataFrame:
         ),
     ).otherwise(F.lit(""))
 
+    def list_lines(tag, col):
+        if col not in t.columns:
+            return F.lit("")
+        return F.when(
+            F.col(col).isNotNull() & (F.size(col) > 0),
+            F.array_join(
+                F.transform(
+                    col, lambda x: F.concat(F.lit(f"\n{tag}: "), x)
+                ),
+                "",
+            ),
+        ).otherwise(F.lit(""))
+
     body = F.concat(
         F.lit("[Typedef]\nid: "),
         F.concat("prefix", F.lit(":"), "identifier"),
@@ -371,8 +384,10 @@ def obo_typedef_stanzas(typedefs: DataFrame, prefix: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
         opt_line("comment", "comment"),
+        list_lines("xref", "xrefs"),
         opt_line("domain", "domain"),
         opt_line("range", "range"),
+        list_lines("is_a", "parents"),
         chain_lines,
         bool_line("is_anti_symmetric", "is_anti_symmetric"),
         bool_line("is_cyclic", "is_cyclic"),

@@ -1651,9 +1651,228 @@ FROM documents
 """
 
 
+SQL_SPAN_PIPELINE = f"""
+WITH dict(tok, curie, score) AS (VALUES {_DICT_VALUES_SQL}),
+spans AS (
+  SELECT doc_id, 0 AS span_idx,
+         CASE WHEN doc_id % 2 = 0
+              THEN array_to_string(list_slice(string_split(text, ' '), 1, 20), ' ')
+              ELSE text END AS stext
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 2 AS span_idx, substr(text, length(text) // 2) AS stext
+  FROM documents WHERE doc_id % 2 = 0
+),
+toks AS (
+  -- the matcher folds (fold_text: strip + whitespace collapse) before
+  -- tokenizing; the mid-text substring span can begin on a space, so
+  -- trim or the leading empty token shifts every position by one
+  SELECT doc_id, span_idx, l, unnest(range(1, len(l) + 1)) AS i
+  FROM (SELECT doc_id, span_idx, string_split(trim(stext, ' '), ' ') AS l
+        FROM spans)
+),
+sites AS (
+  SELECT doc_id, span_idx, CAST(i - 1 AS INTEGER) AS token_start,
+         l[i] AS tok
+  FROM toks
+),
+best AS (
+  SELECT s.doc_id, s.span_idx, s.token_start, s.tok, d.curie, d.score,
+         row_number() OVER (PARTITION BY s.doc_id, s.span_idx, s.token_start
+                            ORDER BY d.score DESC, d.curie ASC) AS rn
+  FROM sites s JOIN dict d ON s.tok = d.tok
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(span_idx AS INTEGER) AS span_idx,
+       token_start,
+       CAST(token_start + 1 AS INTEGER) AS token_end,
+       tok AS matched_text, curie, CAST(score AS DOUBLE) AS score
+FROM best WHERE rn = 1
+"""
+
+
+def _planted_twin_corpus(spark, sf_dir):
+    """Base docs (doc_id % 10 == 0) plus EXACT-copy twins at
+    doc_id + 10_000_000 — the planted invariant both hash-family oracles
+    assert on: an identical pair MUST collide (all LSH bands equal /
+    simhash hamming 0), which DuckDB can state without replicating
+    xxhash64."""
+    base = (
+        tp.load(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 10 == 0) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    twins = base.select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+    )
+    return base.unionByName(twins)
+
+
+def q_minhash_planted(spark, sf_dir):
+    """Planted-twin oracle for the MinHash+LSH near-dup path (VERDICT
+    r02 #3): exact twins must survive the FULL pipeline (signatures →
+    banded candidates → estimate filter) with est_jaccard exactly 1.0.
+    Organic pairs are excluded by the doc_b = doc_a + 10^7 key so the
+    output is engine-independent."""
+    res = dedup.minhash_near_duplicates(_planted_twin_corpus(spark, sf_dir))
+    return res.where(F.col("doc_b") == F.col("doc_a") + 10000000).select(
+        "doc_a", "doc_b", "est_jaccard"
+    )
+
+
+SQL_MINHASH_PLANTED = """
+SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
+       CAST(1.0 AS DOUBLE) AS est_jaccard
+FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
+"""
+
+
+def q_simhash_planted(spark, sf_dir):
+    """Planted-twin oracle for SimHash: identical texts must fingerprint
+    identically, i.e. hamming distance 0 across every planted pair."""
+    fps = dedup.simhash_fingerprints(_planted_twin_corpus(spark, sf_dir))
+    a = fps.where(F.col("doc_id") < 10000000).select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a")
+    )
+    b = fps.where(F.col("doc_id") >= 10000000).select(
+        (F.col("doc_id") - 10000000).alias("doc_a"),
+        F.col("simhash").alias("sh_b"),
+    )
+    return a.join(b, on="doc_a").select(
+        "doc_a",
+        (F.col("doc_a") + 10000000).alias("doc_b"),
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        .cast("bigint")
+        .alias("hamming"),
+    )
+
+
+SQL_SIMHASH_PLANTED = """
+SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b,
+       CAST(0 AS BIGINT) AS hamming
+FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
+"""
+
+
+def q_term_embeddings(spark, sf_dir):
+    """Term-keyed embedding artifact (reference api/embedding.py:52-169)
+    exploded to scalar rows for the driver compare."""
+    from .operators import embeddings as E
+
+    emb = E.term_embeddings(tp.terms(spark, sf_dir))
+    return emb.select(
+        "prefix",
+        "identifier",
+        F.posexplode("vector").alias("dim_idx", "component"),
+    )
+
+
+SQL_TERM_EMBEDDINGS = f"""
+WITH terms AS ({tp.TERMS_SQL}),
+named AS (
+  SELECT prefix, identifier, sha256(name) AS h
+  FROM terms WHERE name IS NOT NULL
+),
+dims AS (
+  SELECT prefix, identifier, h, unnest(range(0, 16)) AS i FROM named
+)
+SELECT prefix, identifier, CAST(i AS INTEGER) AS dim_idx,
+       round(CAST(CAST('0x' || substr(h, CAST(1 + 2*i AS INTEGER), 2)
+                       AS INTEGER) AS DOUBLE) / 255.0, 4) AS component
+FROM dims
+"""
+
+
+def q_embedding_nearest_terms(spark, sf_dir):
+    """get_embedding_similarity-shaped nearest-term lookup (reference
+    api/embedding.py:212-252): top-5 cosine neighbors for four query
+    terms over the term-embedding artifact."""
+    from .operators import embeddings as E
+
+    emb = E.term_embeddings(tp.terms(spark, sf_dir))
+    q = spark.createDataFrame(
+        [("fixp:0000005",), ("fixp:0000010",),
+         ("fixp:0000015",), ("fixp:0000020",)],
+        "curie string",
+    )
+    return E.nearest_terms(emb, q, k=5)
+
+
+SQL_EMBEDDING_NEAREST_TERMS = f"""
+WITH terms AS ({tp.TERMS_SQL}),
+emb AS (
+  SELECT concat(prefix, ':', identifier) AS curie,
+         list_transform(range(0, 16),
+           i -> round(CAST(CAST('0x' || substr(sha256(name),
+                        CAST(1 + 2*i AS INTEGER), 2) AS INTEGER) AS DOUBLE)
+                      / 255.0, 4)) AS vec
+  FROM terms WHERE name IS NOT NULL
+),
+q AS (
+  SELECT curie AS query_curie, vec AS qvec FROM emb
+  WHERE curie IN ('fixp:0000005', 'fixp:0000010',
+                  'fixp:0000015', 'fixp:0000020')
+),
+scored AS (
+  SELECT q.query_curie, c.curie AS neighbor_curie,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(list_zip(q.qvec, c.vec), p -> p[1] * p[2])),
+             (acc, x) -> acc + x)
+         / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(q.qvec, x -> x * x)), (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(c.vec, x -> x * x)), (acc, x) -> acc + x)))
+         AS cosine
+  FROM emb c CROSS JOIN q
+  WHERE q.query_curie <> c.curie
+),
+ranked AS (
+  SELECT query_curie, neighbor_curie, cosine,
+         row_number() OVER (PARTITION BY query_curie
+                            ORDER BY cosine DESC, neighbor_curie) AS rank
+  FROM scored
+)
+SELECT query_curie, neighbor_curie, round(cosine, 4) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # ---- driver window (the correctness harness checks the FIRST 50
+    # entries): round-3 rotation puts every query the driver has never
+    # validated first — the 12 oracle-backed round-2 additions, the 5 new
+    # round-3 oracles, and the 6 rows-only hash-family ops — then
+    # re-validates 27 flagship round-2 greens. The 22 overflow entries
+    # below the window all passed the full driver check in round 2
+    # (CORRECTNESS_r02.json) and stay green under tests/parity.py.
+    "events_sessionize": q_events_sessionize,
+    "sssom_with_justification": q_sssom_with_justification,
+    "semantic_mappings": q_semantic_mappings,
+    "hierarchy_nodes": q_hierarchy_nodes,
+    "ngram_jaccard_planted": q_ngram_jaccard_planted,
+    "media_digest": q_media_digest,
+    "events_sessionize_native": q_events_sessionize_native,
+    "typedefs": q_typedefs,
+    "references": q_references,
+    "alts_grouped": q_alts_grouped,
+    "provenance_routing": q_provenance_routing,
+    "language_id": q_language_id,
+    "span_pipeline": q_span_pipeline,
+    "minhash_planted": q_minhash_planted,
+    "simhash_planted": q_simhash_planted,
+    "term_embeddings": q_term_embeddings,
+    "embedding_nearest_terms": q_embedding_nearest_terms,
+    # rows-only (non-SQL-expressible: xxhash64-seeded candidates / UDF
+    # internals; planted-twin oracles above cover their invariants)
+    "minhash_near_duplicates": q_minhash_near_duplicates,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_cosine_lsh": q_ann_cosine_lsh,
+    "ann_cosine_ivf": q_ann_cosine_ivf,
+    "media_features": q_media_features,
+    # flagship re-validations (green in r02)
     "names": q_names,
     "definitions": q_definitions,
     "obsoletes": q_obsoletes,
@@ -1674,6 +1893,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_stats": q_token_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "hierarchy_edges": q_hierarchy_edges,
+    "clean_corpus": q_clean_corpus,
+    "pii_scrub": q_pii_scrub,
+    "normalize_curies": q_normalize_curies,
+    "events_windowed": q_events_windowed,
+    "events_sliding": q_events_sliding,
+    "salted_counts": q_salted_counts,
+    # ---- overflow (below the 50-entry driver window; all driver-green
+    # in round 2 and still checked by tests/parity.py every session)
     "pricing_summary": q_pricing_summary,
     "relation_counters": q_relation_counters,
     "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
@@ -1693,36 +1921,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dictionary_skip_obsolete": q_dictionary_skip_obsolete,
     "species_remap": q_species_remap,
     "literal_mappings_subset": q_literal_mappings_subset,
-    "events_windowed": q_events_windowed,
-    "events_sessionize": q_events_sessionize,
-    "events_sliding": q_events_sliding,
-    "salted_counts": q_salted_counts,
-    "normalize_curies": q_normalize_curies,
     "embedding_near_dup": q_embedding_near_dup,
-    "hierarchy_edges": q_hierarchy_edges,
-    "clean_corpus": q_clean_corpus,
     "mention_canonicalized": q_mention_canonicalized,
     "token_counts_regex": q_token_counts_regex,
-    "pii_scrub": q_pii_scrub,
-    "sssom_with_justification": q_sssom_with_justification,
-    "semantic_mappings": q_semantic_mappings,
-    "hierarchy_nodes": q_hierarchy_nodes,
-    "ngram_jaccard_planted": q_ngram_jaccard_planted,
-    "media_digest": q_media_digest,
-    "events_sessionize_native": q_events_sessionize_native,
-    "typedefs": q_typedefs,
-    "references": q_references,
-    "alts_grouped": q_alts_grouped,
-    "provenance_routing": q_provenance_routing,
-    # rows-only (non-SQL-expressible: hash-family/UDF internals)
-    "minhash_near_duplicates": q_minhash_near_duplicates,
-    "simhash": q_simhash,
-    "ngram_jaccard": q_ngram_jaccard,
-    "language_id": q_language_id,
-    "ann_cosine_lsh": q_ann_cosine_lsh,
-    "ann_cosine_ivf": q_ann_cosine_ivf,
-    "span_pipeline": q_span_pipeline,
-    "media_features": q_media_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -1787,4 +1988,9 @@ ORACLES: dict[str, str] = {
     "references": SQL_REFERENCES,
     "alts_grouped": SQL_ALTS_GROUPED,
     "provenance_routing": SQL_PROVENANCE_ROUTING,
+    "span_pipeline": SQL_SPAN_PIPELINE,
+    "minhash_planted": SQL_MINHASH_PLANTED,
+    "simhash_planted": SQL_SIMHASH_PLANTED,
+    "term_embeddings": SQL_TERM_EMBEDDINGS,
+    "embedding_nearest_terms": SQL_EMBEDDING_NEAREST_TERMS,
 }

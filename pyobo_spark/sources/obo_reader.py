@@ -199,6 +199,11 @@ def parse_obo_text(text: str) -> ParsedOntology:
                     "is_obsolete": cur.get("is_obsolete") == "true"
                     if "is_obsolete" in cur
                     else None,
+                    # raw typedef-level references; the treat-xrefs-as-*
+                    # block at end of parse routes is_a-macro'd xrefs
+                    # into parents
+                    "parents": [_ref(v) for v in td.get("_is_a", [])],
+                    "xrefs": [_ref(v) for v in td.get("_xref", [])],
                 }
             )
         elif stanza_type == "Term":
@@ -264,16 +269,24 @@ def parse_obo_text(text: str) -> ParsedOntology:
                 else:
                     td[tag] = value
                 continue
+            if tag in ("xref", "is_a"):
+                # typedef-level xrefs/parents live on the TypeDef record
+                # (struct.py:2254-2318 parents/xrefs fields) — the
+                # reference routes typedef xrefs through the same macro
+                # config as terms (test_reader_ontology.py
+                # test_15_xref_is_a_for_typedef); see the macro block at
+                # the end of parse
+                td = cur.setdefault("_td", {})
+                td.setdefault("_" + tag, []).append(value.split(" ")[0])
+                continue
             if tag not in ("id", "name", "namespace", "is_obsolete", "def"):
-                # a typedef's own is_a/xref/synonym/subset/alt_id/
-                # relationship lines belong to the TypeDef stanza
-                # (struct.py:2254-2318 parents/xrefs/synonyms fields),
+                # a typedef's remaining synonym/subset/alt_id/
+                # relationship lines belong to the TypeDef stanza,
                 # NOT to the term tables — letting the Term handlers run
                 # here would pollute hierarchy closures with predicate
-                # ids, feed typedef xrefs into the treat-xrefs-as-*
-                # upgrade, and inject predicate labels into grounding
-                # dictionaries. Dropped until typedef-level hierarchy
-                # is modeled.
+                # ids and inject predicate labels into grounding
+                # dictionaries. Dropped until typedef-level
+                # relationships are modeled.
                 continue
 
         if tag == "id":
@@ -525,6 +538,20 @@ def parse_obo_text(text: str) -> ParsedOntology:
             else:
                 remaining.append(x)
         po.xrefs = remaining
+        # typedef xrefs go through the same macro config
+        # (reference: _handle_xref is shared by Term and TypeDef
+        # stanzas; test_15_xref_is_a_for_typedef). Only the is_a
+        # routing materializes — the typedef model has parents but not
+        # arbitrary relationships, so the other kinds stay xrefs.
+        for td_rec in po.typedefs:
+            keep: list[str] = []
+            for xc in td_rec.get("xrefs", []):
+                xp = xc.split(":", 1)[0].lower() if ":" in xc else ""
+                if xp in isa:
+                    td_rec["parents"] = [*td_rec.get("parents", []), xc]
+                else:
+                    keep.append(xc)
+            td_rec["xrefs"] = keep
     return po
 
 
@@ -670,6 +697,8 @@ def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
             T.StructField("is_metadata_tag", T.BooleanType()),
             T.StructField("is_class_level", T.BooleanType()),
             T.StructField("is_obsolete", T.BooleanType()),
+            T.StructField("parents", T.ArrayType(T.StringType())),
+            T.StructField("xrefs", T.ArrayType(T.StringType())),
         ]
     )
     table_schemas = {

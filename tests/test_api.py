@@ -232,3 +232,27 @@ def test_hierarchy_api_accepts_uppercase_curies(spark):
         "chebi", "24870"
     )
     assert cat.has_ancestor("chebi", "24870", "CHEBI:24431")
+
+
+def test_embedding_api(spark, catalog):
+    """Term-keyed embedding artifact + similarity lookups (reference
+    api/embedding.py:52-169, :212-252)."""
+    emb = catalog.get_text_embeddings_df("fixo")
+    rows = emb.collect()
+    assert rows, "fixo terms should embed"
+    assert set(emb.columns) == {"prefix", "identifier", "curie", "vector"}
+    assert all(len(r["vector"]) == 16 for r in rows)
+    # deterministic: same catalog, same vectors
+    again = {r["curie"]: r["vector"] for r in catalog.get_text_embeddings_df("fixo").collect()}
+    assert {r["curie"]: r["vector"] for r in rows} == again
+    # self-similarity is exactly 1.0
+    some = rows[0]
+    sim = catalog.get_embedding_similarity(
+        "fixo", some["identifier"], some["identifier"]
+    )
+    assert sim is not None and abs(sim - 1.0) < 1e-9
+    # nearest terms excludes self and is cosine-descending
+    if len(rows) > 1:
+        nn = catalog.get_nearest_terms("fixo", some["identifier"], k=3)
+        assert all(c != some["curie"] for c, _ in nn)
+        assert [s for _, s in nn] == sorted((s for _, s in nn), reverse=True)

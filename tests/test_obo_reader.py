@@ -372,3 +372,113 @@ property_value: RO:0000087 CHEBI:456
     lits = {p["value"] for p in po.properties}
     assert lits == {"2024-01-01T12:30:00Z", "1:500",
                     "urn:isbn:0451450523", "ftp://host/file"}
+
+
+# Golden tests mirroring the reference's own macro corpus
+# (tests/test_obo_reader/test_reader_ontology.py test_12..test_15):
+# same inputs, our long-table representation of the same routings.
+
+def test_golden_macro_equivalent_reference_fixture():
+    po = parse_obo_text(
+        "ontology: go\ntreat-xrefs-as-equivalent: CL\n\n"
+        "[Term]\nid: GO:0005623\nname: cell\nxref: CL:0000000\n"
+    )
+    # routed out of plain xrefs into the equivalence predicate
+    assert [
+        (x["target_prefix"], x["target_id"], x["predicate"])
+        for x in po.xrefs
+    ] == [("cl", "0000000", "owl:equivalentClass")]
+    assert po.parents == [] and po.relations == [] and po.intersections == []
+
+
+def test_golden_macro_genus_differentia_reference_fixture():
+    po = parse_obo_text(
+        "ontology: zfa\n"
+        "treat-xrefs-as-genus-differentia: CL BFO:0000050 NCBITaxon:7955\n\n"
+        "[Term]\nid: ZFA:0000134\nxref: CL:0000540\n"
+    )
+    assert po.xrefs == [] and po.parents == [] and po.relations == []
+    assert [
+        (i["relation_prefix"], i["relation_id"],
+         i["target_prefix"], i["target_id"])
+        for i in po.intersections
+    ] == [("", "", "cl", "0000540"),
+          ("BFO", "0000050", "ncbitaxon", "7955")]
+
+
+def test_golden_macro_relationship_reference_fixture():
+    po = parse_obo_text(
+        "ontology: go\ntreat-xrefs-as-relationship: CL BFO:0000000\n\n"
+        "[Term]\nid: GO:0005623\nname: cell\nxref: CL:0000000\n"
+    )
+    assert po.xrefs == [] and po.parents == [] and po.intersections == []
+    assert [
+        (r["relation_prefix"], r["relation_id"],
+         r["target_prefix"], r["target_id"])
+        for r in po.relations
+    ] == [("BFO", "0000000", "cl", "0000000")]
+
+
+def test_golden_macro_is_a_reference_fixture():
+    po = parse_obo_text(
+        "ontology: go\ntreat-xrefs-as-is_a: CL\n\n"
+        "[Term]\nid: GO:0005623\nname: cell\nxref: CL:0000000\n"
+    )
+    assert po.xrefs == [] and po.relations == [] and po.intersections == []
+    assert po.parents == [
+        {"child_prefix": "go", "child": "0005623",
+         "parent_prefix": "cl", "parent": "0000000"}
+    ]
+
+
+def test_macro_relationship_tag_collision():
+    """A term carrying BOTH an explicit `relationship:` tag and a
+    macro-upgraded xref to the same (predicate, target) must keep the
+    rows the reference keeps: append_relationship adds the upgraded
+    xref alongside the explicit tag (reader.py:715), and the long-table
+    dedup (if any) must not silently drop the explicit one."""
+    po = parse_obo_text(
+        "ontology: go\ntreat-xrefs-as-relationship: CL BFO:0000050\n\n"
+        "[Term]\nid: GO:0005623\nname: cell\n"
+        "relationship: BFO:0000050 CL:0000000\n"
+        "xref: CL:0000000\n"
+    )
+    rel = [
+        (r["relation_prefix"], r["relation_id"],
+         r["target_prefix"], r["target_id"])
+        for r in po.relations
+    ]
+    # both sources produce the same triple; at minimum it survives once
+    assert ("BFO", "0000050", "cl", "0000000") in rel
+    assert po.xrefs == []
+
+
+def test_golden_macro_is_a_for_typedef_reference_fixture():
+    """Typedef xrefs route through the same macro config
+    (test_reader_ontology.py test_15_xref_is_a_for_typedef)."""
+    po = parse_obo_text(
+        "ontology: ro\ntreat-xrefs-as-is_a: skos\n\n"
+        "[Typedef]\nid: RO:0000000\nxref: skos:closeMatch\n"
+    )
+    td = po.typedefs[0]
+    assert td["xrefs"] == []
+    assert td["parents"] == ["skos:closeMatch"]
+
+
+def test_typedef_xref_is_a_roundtrip(spark):
+    """Un-macro'd typedef xref + is_a lines survive serialize → parse."""
+    from pyobo_spark.operators import obo_writer
+    from pyobo_spark.sources.obo_reader import parse_obo_files
+
+    src = (
+        "format-version: 1.4\nontology: tsto\n\n"
+        "[Typedef]\nid: TSTO:9000001\nname: rel one\n"
+        "xref: RO:0002212\nis_a: RO:0002211\n"
+    )
+    tables = parse_obo_files(spark, [("tsto", src)])
+    td_stanzas = obo_writer.obo_typedef_stanzas(tables["typedefs"], "tsto")
+    text = td_stanzas.collect()[0]["stanza_text"]
+    assert "\nxref: RO:0002212" in text and "\nis_a: RO:0002211" in text
+    po2 = parse_obo_text("format-version: 1.4\nontology: tsto\n\n" + text)
+    assert po2.typedefs[0]["xrefs"] == ["RO:0002212"]
+    assert po2.typedefs[0]["parents"] == ["RO:0002211"]
