@@ -52,6 +52,8 @@ HEADLINE = [
     "semantic_mappings",        # full SSSOM column set projection
     "media_digest",             # multimodal Arrow decode-stub stage
     "hierarchy_nodes",          # node-set + literal-property join
+    "term_embeddings",          # map-only term embedding artifact
+    "embedding_nearest_terms",  # broadcast cosine top-k over terms
 ]
 
 

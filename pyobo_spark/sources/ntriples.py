@@ -91,7 +91,10 @@ def skos_to_tables(triples: DataFrame, uri_prefix: str, prefix: str) -> dict:
         F.lit("oboInOwl:hasExactSynonym").alias("predicate"),
     )
     parents = ok.where(
-        in_scheme & (F.col("predicate") == SKOS + "broader")
+        # skos:broader (plain SKOS data) or skos:broadMatch (what the
+        # reference's own SKOS export emits, skos/export.py:101)
+        in_scheme
+        & F.col("predicate").isin(SKOS + "broader", SKOS + "broadMatch")
     ).select(
         F.lit(prefix).alias("child_prefix"),
         strip(F.col("subject")).alias("child"),

@@ -1,0 +1,149 @@
+"""Distributed SKOS / OBO-Graph sinks round-trip through the engine's
+own readers (reference: struct/skos/export.py, struct/obograph/export.py
+— serialization parity is checked structurally, not byte-wise, since the
+reference serializes via rdflib/pydantic)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyobo_spark.fixtures import generator
+from pyobo_spark.operators import rdf_writers
+from pyobo_spark.sources.ntriples import read_ntriples, skos_to_tables
+from pyobo_spark.sources.obograph import read_obograph
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return generator.to_spark(spark, generator.generate(n_terms=30, n_docs=1))
+
+
+def test_skos_roundtrip(spark, tables, tmp_path):
+    out = str(tmp_path / "fixo_skos")
+    rdf_writers.write_skos(
+        tables["terms"], tables["synonyms"], tables["parents"], "fixo", out
+    )
+    got = skos_to_tables(
+        read_ntriples(spark, out),
+        uri_prefix=rdf_writers.OBO_PURL + "fixo_",
+        prefix="fixo",
+    )
+    want_names = {
+        (r["identifier"], r["name"])
+        for r in tables["terms"]
+        .where("prefix = 'fixo' and name is not null")
+        .collect()
+    }
+    assert {
+        (r["identifier"], r["name"]) for r in got["names"].collect()
+    } == want_names
+    want_syn = {
+        (r["identifier"], r["text"])
+        for r in tables["synonyms"].where("prefix = 'fixo'").collect()
+    }
+    assert {
+        (r["identifier"], r["text"]) for r in got["synonyms"].collect()
+    } == want_syn
+    want_par = {
+        (r["child"], r["parent"])
+        for r in tables["parents"]
+        .where("child_prefix = 'fixo' and parent_prefix = 'fixo'")
+        .collect()
+    }
+    got_par = {
+        (r["child"], r["parent"]) for r in got["parents"].collect()
+    }
+    assert want_par <= got_par
+
+
+def test_skos_no_driver_collect_plan(tables):
+    """The triples plan is a union of map-only projections — no
+    Exchange (shuffle) anywhere: pure scan → project → union."""
+    df = rdf_writers.skos_triples(
+        tables["terms"], tables["synonyms"], tables["parents"], "fixo"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_skos_literal_escaping(spark):
+    terms = spark.createDataFrame(
+        [("fixo", "0000001", 'has "quotes"\nand newline', None, False)],
+        "prefix string, identifier string, name string, "
+        "definition string, is_obsolete boolean",
+    )
+    empty_syn = spark.createDataFrame(
+        [], "prefix string, identifier string, text string, predicate string"
+    )
+    empty_par = spark.createDataFrame(
+        [],
+        "child_prefix string, child string, parent_prefix string, "
+        "parent string",
+    )
+    lines = [
+        r["value"]
+        for r in rdf_writers.skos_triples(
+            terms, empty_syn, empty_par, "fixo"
+        ).collect()
+    ]
+    lab = [ln for ln in lines if "prefLabel" in ln][0]
+    assert '\\"quotes\\"' in lab and "\\n" in lab and "\n" not in lab
+
+
+def test_obograph_roundtrip(spark, tables, tmp_path):
+    doc = rdf_writers.obograph_document(
+        tables["terms"], tables["parents"], tables["relations"], "fixo"
+    )
+    p = tmp_path / "fixo.json"
+    p.write_text(doc)
+    got = read_obograph(spark, str(p))
+    n_terms = tables["terms"].where("prefix = 'fixo'").count()
+    assert got["nodes"].count() == n_terms
+    # node labels match term names
+    want = {
+        (rdf_writers.OBO_PURL + "fixo_" + r["identifier"], r["name"])
+        for r in tables["terms"].where("prefix = 'fixo'").collect()
+    }
+    assert {
+        (r["node_id"], r["label"]) for r in got["nodes"].collect()
+    } == want
+    # is_a edges present with expanded IRIs
+    want_edges = {
+        (
+            rdf_writers.OBO_PURL + "fixo_" + r["child"],
+            "is_a",
+            rdf_writers.OBO_PURL + "fixo_" + r["parent"],
+        )
+        for r in tables["parents"]
+        .where("child_prefix = 'fixo' and parent_prefix = 'fixo'")
+        .collect()
+    }
+    got_edges = {
+        (r["subject"], r["predicate"], r["object"])
+        for r in got["edges"].collect()
+    }
+    assert want_edges <= got_edges
+    # deprecated flag survives in node meta
+    parsed = json.loads(doc)
+    flags = {n["id"]: n.get("meta", {}).get("deprecated") for n in parsed["graphs"][0]["nodes"]}
+    obsolete = {
+        rdf_writers.OBO_PURL + "fixo_" + r["identifier"]
+        for r in tables["terms"]
+        .where("prefix = 'fixo' and is_obsolete").collect()
+    }
+    assert all(flags[i] for i in obsolete)
+
+
+def test_obograph_jsonl_distributed(spark, tables, tmp_path):
+    out = str(tmp_path / "fixo_og")
+    rdf_writers.write_obograph_jsonl(
+        tables["terms"], tables["parents"], tables["relations"], "fixo", out
+    )
+    nodes = spark.read.json(out + "/record_type=node")
+    assert nodes.count() == tables["terms"].where("prefix = 'fixo'").count()
+    edges = spark.read.json(out + "/record_type=edge")
+    assert edges.count() > 0
+    assert set(nodes.columns) >= {"id", "lbl", "type"}
