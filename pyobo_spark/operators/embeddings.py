@@ -66,8 +66,8 @@ def nearest_terms(
     ``get_embedding_similarity``'s nearest-lookup shape. The query side
     (a handful of CURIEs) joins against the artifact to pick up vectors,
     then broadcasts into the exact top-k kernel."""
-    q = query_curies.join(
-        embeddings.select("curie", "vector"), on="curie"
+    q = embeddings.select("curie", "vector").join(
+        F.broadcast(query_curies), on="curie"
     )
     return similarity.cosine_topk_bruteforce(
         embeddings, q, k=k, id_col="curie", vec_col="vector"

@@ -87,3 +87,50 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_stats")
+
+
+def test_serialization_sinks_are_map_only(spark):
+    """SKOS / OBO-Graph / OFN / term-embedding exports promise a
+    scan→project→union plan with ZERO Exchange — the property that lets
+    them stream an ncbigene-sized ontology without a shuffle."""
+    from pyobo_spark.fixtures import generator
+    from pyobo_spark.operators import embeddings as E
+    from pyobo_spark.operators import ofn_writer, rdf_writers
+
+    t = generator.to_spark(spark, generator.generate(n_terms=10, n_docs=1))
+    plans = {
+        "skos": _formatted_plan(
+            rdf_writers.skos_triples(
+                t["terms"], t["synonyms"], t["parents"], "fixo"
+            )
+        ),
+        "obograph": _formatted_plan(
+            rdf_writers.obograph_records(
+                t["terms"], t["parents"], t["relations"], "fixo"
+            )
+        ),
+        "ofn": _formatted_plan(
+            ofn_writer.ofn_axioms(
+                t["terms"], t["synonyms"], t["xrefs"], t["relations"],
+                t["parents"], t["alts"], "fixo",
+            )
+        ),
+        "term_embeddings": _formatted_plan(E.term_embeddings(t["terms"])),
+    }
+    for name, plan in plans.items():
+        assert "Exchange" not in plan, f"{name} plan shuffles:\n{plan}"
+
+
+def test_nearest_terms_broadcasts_query_side(spark):
+    """The query CURIE pickup and the top-k kernel both broadcast the
+    tiny side; the only shuffle is the per-query window."""
+    from pyobo_spark.fixtures import generator
+    from pyobo_spark.operators import embeddings as E
+
+    t = generator.to_spark(spark, generator.generate(n_terms=10, n_docs=1))
+    q = spark.createDataFrame([("fixo:0000001",)], "curie string")
+    plan = _formatted_plan(
+        E.nearest_terms(E.term_embeddings(t["terms"]), q, k=3)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
