@@ -196,7 +196,8 @@ class OntologyCatalog:
         if not rows:
             return None
         r = rows[0]
-        return {"prefix": r["prefix"], "version": r["version"],
+        return {"prefix": r["prefix"],
+                "version": self.get_version(prefix),
                 "date": r["date"]}
 
     # ---- obsolete-upgrade (replaced_by / consider; struct.py:1189-1236
@@ -353,8 +354,11 @@ class OntologyCatalog:
         # filter a multi-ontology catalog would return every other
         # ontology's rows with unstripped CURIEs as identifiers
         mine = F.col("source_curie").startswith(f"{prefix.lower()}:")
+        # the CURIE strip inside properties_combined must use the SAME
+        # folded prefix as the filter, or an uppercase argument returns
+        # rows with unstripped identifiers
         return exports.properties_combined(
-            self.properties.where(mine), obj.where(mine), prefix
+            self.properties.where(mine), obj.where(mine), prefix.lower()
         )
 
     def get_filtered_properties_mapping(
@@ -386,7 +390,7 @@ class OntologyCatalog:
         canonical uppercase CURIE ('CHEBI:24431') must be folded or the
         lookup silently misses."""
         if ":" not in ref:
-            return f"{prefix}:{ref}"
+            return f"{prefix.lower()}:{ref}"
         p, i = ref.split(":", 1)
         return f"{p.lower()}:{i}"
 
@@ -543,7 +547,7 @@ class OntologyCatalog:
             # unpersist them all when a long-lived catalog rotates
             # dictionaries
             entries: list = []
-            for p in prefixes:
+            for p in key[0]:
                 ekey = (p, skip_obsolete)
                 if ekey not in self._dict_entries:
                     self._dict_entries[ekey] = _dict.dictionary_entries(

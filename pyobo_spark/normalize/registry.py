@@ -92,6 +92,29 @@ RELATION_LABELS: dict[str, tuple[str, str]] = {
 }
 
 
+def preferred_case(prefix: str) -> str:
+    """Canonical output casing for a prefix (bioregistry preferred
+    prefix): registry preferred casing when known, else unchanged —
+    never blanket uppercase ('ncbitaxon' → 'NCBITaxon', not
+    'NCBITAXON')."""
+    for rec in _RECORDS:
+        if rec.prefix == prefix.strip().lower():
+            return rec.preferred
+    return prefix
+
+
+def preferred_case_col(col):
+    """Column form of :func:`preferred_case` as a broadcast-literal map —
+    the single source of truth for every serialization sink (OBO / OFN /
+    SKOS / OBO-Graph)."""
+    from pyspark.sql import functions as F
+
+    pairs = [
+        x for rec in _RECORDS for x in (F.lit(rec.prefix), F.lit(rec.preferred))
+    ]
+    return F.coalesce(F.create_map(*pairs)[F.lower(col)], col)
+
+
 def ground_relation(label: str) -> tuple[str, str] | None:
     """Normalize a relation label (_norm: strip space/underscore/colon/
     dash, lowercase) and look it up."""

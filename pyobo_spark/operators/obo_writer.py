@@ -22,26 +22,18 @@ PREDICATE_TO_SPEC = {
 
 
 def _preferred_case(prefix: str) -> str:
-    """Canonical output casing for a prefix (reference: bioregistry
-    preferred prefix via Reference.preferred_curie) — registry preferred
-    casing when known, else the stored prefix unchanged. Never blanket
-    uppercase: 'ncbitaxon' must serialize as NCBITaxon, not NCBITAXON."""
-    from ..normalize.registry import Registry
+    """Canonical output casing (reference: bioregistry preferred prefix
+    via Reference.preferred_curie) — delegates to the registry's single
+    source of truth."""
+    from ..normalize.registry import preferred_case
 
-    rec = Registry.default().records.get(prefix.strip().lower())
-    return rec.preferred if rec is not None else prefix
+    return preferred_case(prefix)
 
 
 def _pc(col):
-    """Column form of :func:`_preferred_case` via a broadcast-literal map."""
-    from ..normalize.registry import Registry
+    from ..normalize.registry import preferred_case_col
 
-    pairs = [
-        x
-        for rec in Registry.default().records.values()
-        for x in (F.lit(rec.prefix), F.lit(rec.preferred))
-    ]
-    return F.coalesce(F.create_map(*pairs)[F.lower(col)], col)
+    return preferred_case_col(col)
 
 
 def _esc(col):
@@ -279,6 +271,10 @@ def obo_document(stanzas: DataFrame, prefix: str, version: str = "1") -> str:
     header = (
         f"format-version: 1.4\nontology: {prefix}\ndata-version: {version}\n"
     )
+    if not rows:
+        # header only — keeps byte-identity with write_obo_document,
+        # whose header row contributes exactly one trailing newline
+        return header
     return header + "\n" + "\n\n".join(r["stanza_text"] for r in rows) + "\n"
 
 

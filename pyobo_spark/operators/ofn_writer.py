@@ -44,15 +44,11 @@ def _esc(col):
 def _obo_entity(prefix_col, id_col):
     """CURIE → `obo:{PreferredPrefix}_{id}` abbreviated IRI (the OBO
     PURL convention the reference's converter expands to)."""
-    from ..normalize.registry import Registry
+    from ..normalize.registry import preferred_case_col
 
-    pairs = [
-        x
-        for rec in Registry.default().records.values()
-        for x in (F.lit(rec.prefix), F.lit(rec.preferred))
-    ]
-    pc = F.coalesce(F.create_map(*pairs)[F.lower(prefix_col)], prefix_col)
-    return F.concat(F.lit("obo:"), pc, F.lit("_"), id_col)
+    return F.concat(
+        F.lit("obo:"), preferred_case_col(prefix_col), F.lit("_"), id_col
+    )
 
 
 _SYN_PRED = {

@@ -43,15 +43,11 @@ def _term_iri(prefix_col, id_col):
     """CURIE → OBO PURL with registry preferred casing (the same
     expansion rule the registry's uri_prefixes record for OBO
     ontologies: http://purl.obolibrary.org/obo/{Prefix}_{id})."""
-    from ..normalize.registry import Registry
+    from ..normalize.registry import preferred_case_col
 
-    pairs = [
-        x
-        for rec in Registry.default().records.values()
-        for x in (F.lit(rec.prefix), F.lit(rec.preferred))
-    ]
-    pc = F.coalesce(F.create_map(*pairs)[F.lower(prefix_col)], prefix_col)
-    return F.concat(F.lit(OBO_PURL), pc, F.lit("_"), id_col)
+    return F.concat(
+        F.lit(OBO_PURL), preferred_case_col(prefix_col), F.lit("_"), id_col
+    )
 
 
 def _uri_triple(s, p, o):

@@ -45,11 +45,15 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
     )
     is_uri = F.col("u_s") != ""
     is_lit = (F.col("l_s") != "") & ~is_uri
-    # N-Triples string-escape decoding for literal values (\" \n \t \\);
-    # \\ handled last so it can't re-trigger the shorter escapes
+    # N-Triples string-escape decoding for literal values (\" \n \t \\).
+    # Escaped backslashes are swapped to a sentinel FIRST: sequential
+    # regexp passes would otherwise mis-decode a literal backslash
+    # followed by 'n'/'t' ('foo\\nbar' on the wire means backslash+n,
+    # but a later \n pass would see the second backslash and emit a
+    # newline). \x00 cannot appear in a valid N-Triples literal.
     lit_val = F.col("l_v")
-    for pat, rep in ((r'\\"', '"'), (r"\\n", "\n"), (r"\\t", "\t"),
-                     (r"\\\\", "\\\\")):
+    for pat, rep in ((r"\\\\", "\x00"), (r'\\"', '"'), (r"\\n", "\n"),
+                     (r"\\t", "\t"), ("\x00", "\\\\")):
         lit_val = F.regexp_replace(lit_val, pat, rep)
     return parsed.select(
         F.when(is_uri, F.col("u_s")).when(is_lit, F.col("l_s")).alias("subject"),

@@ -54,8 +54,8 @@ def _dtype_kinds(spark_df, rel) -> tuple[bool, str]:
     dtypes both results materialize to and flag any kind mismatch."""
     import pandas as pd  # noqa: F401
 
-    s_pd = spark_df.toPandas()
-    d_pd = rel.df()
+    s_pd = spark_df.limit(100).toPandas()
+    d_pd = rel.limit(100).df()
     bad = []
     for c in sorted(s_pd.columns):
         sk = s_pd[c].dtype.kind

@@ -256,3 +256,53 @@ def test_embedding_api(spark, catalog):
         nn = catalog.get_nearest_terms("fixo", some["identifier"], k=3)
         assert all(c != some["curie"] for c, _ in nn)
         assert [s for _, s in nn] == sorted((s for _, s in nn), reverse=True)
+
+
+def test_uppercase_prefix_lookups(spark, catalog):
+    """Case-folding is applied end-to-end (r03 review): uppercase prefix
+    arguments hit the lowercase-stored tables AND strip CURIEs with the
+    folded prefix."""
+    lower = catalog.get_properties_df("fixo").collect()
+    upper = catalog.get_properties_df("FIXO").collect()
+    assert sorted(map(tuple, lower)) == sorted(map(tuple, upper))
+    if lower:
+        assert all(":" not in r["identifier"] for r in upper)
+    emb_rows = catalog.get_text_embeddings_df("fixo").collect()
+    some = emb_rows[0]
+    sim = catalog.get_embedding_similarity(
+        "FIXO", some["identifier"], some["identifier"]
+    )
+    assert sim is not None and abs(sim - 1.0) < 1e-9
+
+
+def test_grounder_duplicate_prefixes_share_clean_cache(spark, catalog):
+    """get_grounder(('fixo','fixo')) must build the same matcher as
+    ('fixo',) — the cache key dedupes, so the build must too."""
+    g1 = catalog.get_grounder(("fixo", "fixo"))
+    g2 = catalog.get_grounder("fixo")
+    assert g1 is g2
+    # a single-token lookup yields each entry exactly once
+    from pyobo_spark.grounding.dictionary import fold_text
+
+    ac = g1.value
+    label = fold_text(generator._label(1))
+    hits = list(ac.search(label.split(" ")))
+    # distinct predicates for the same span are legitimate (label 1.0 +
+    # exact synonym 0.9); what must NOT appear is a byte-identical hit
+    # duplicated by the doubled prefix list
+    assert len(hits) == len(set(hits))
+
+
+def test_metadata_version_cleaned(spark):
+    """get_metadata returns the SAME cleaned version as get_version."""
+    from pyobo_spark.api import OntologyCatalog
+    from pyobo_spark.fixtures import generator as g
+
+    tables = g.to_spark(spark, g.generate(n_terms=3, n_docs=1))
+    meta = spark.createDataFrame(
+        [("fixo", "releases/2023-05-10", "2023-05-10")],
+        "prefix string, version string, date string",
+    )
+    cat = OntologyCatalog(dict(tables, metadata=meta))
+    assert cat.get_version("fixo") == "2023-05-10"
+    assert cat.get_metadata("fixo")["version"] == "2023-05-10"

@@ -257,3 +257,22 @@ def test_write_obo_document_distributed(spark, tables, tmp_path):
     parts = sorted(glob.glob(out + "/part-*"))
     got = "".join(open(p).read() for p in parts)
     assert got == want
+
+
+def test_empty_ontology_byte_parity(spark, tables, tmp_path):
+    """Zero-stanza document: driver and distributed paths agree
+    byte-for-byte (header only; r03 review)."""
+    import glob
+
+    empty = obo_writer.obo_stanzas(
+        tables["terms"].where("prefix = 'nosuch'"),
+        tables["synonyms"].limit(0), tables["xrefs"].limit(0),
+        tables["relations"].limit(0), tables["parents"].limit(0),
+        tables["alts"].limit(0), prefix="nosuch",
+    )
+    want = obo_writer.obo_document(empty, "nosuch", "1")
+    out = str(tmp_path / "empty_obo")
+    obo_writer.write_obo_document(empty, out, "nosuch", "1")
+    parts = sorted(glob.glob(out + "/part-*"))
+    got = "".join(open(p).read() for p in parts)
+    assert got == want

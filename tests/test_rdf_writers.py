@@ -147,3 +147,31 @@ def test_obograph_jsonl_distributed(spark, tables, tmp_path):
     edges = spark.read.json(out + "/record_type=edge")
     assert edges.count() > 0
     assert set(nodes.columns) >= {"id", "lbl", "type"}
+
+
+def test_skos_backslash_n_literal_roundtrip(spark, tmp_path):
+    """A literal backslash followed by 'n' must survive write→read: the
+    reader decodes escaped backslashes via a sentinel so sequential
+    regexp passes can't turn '\\' + 'n' into a newline (r03 review)."""
+    terms = spark.createDataFrame(
+        [("fixo", "0000001", "foo\\nbar", "tab\\there", False)],
+        "prefix string, identifier string, name string, "
+        "definition string, is_obsolete boolean",
+    )
+    empty_syn = spark.createDataFrame(
+        [], "prefix string, identifier string, text string, predicate string"
+    )
+    empty_par = spark.createDataFrame(
+        [],
+        "child_prefix string, child string, parent_prefix string, "
+        "parent string",
+    )
+    out = str(tmp_path / "esc_skos")
+    rdf_writers.write_skos(terms, empty_syn, empty_par, "fixo", out)
+    got = skos_to_tables(
+        read_ntriples(spark, out),
+        uri_prefix=rdf_writers.OBO_PURL + "fixo_",
+        prefix="fixo",
+    )
+    names = {r["identifier"]: r["name"] for r in got["names"].collect()}
+    assert names["0000001"] == "foo\\nbar"
