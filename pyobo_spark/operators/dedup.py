@@ -212,27 +212,54 @@ def ngram_jaccard_pairs(
     documents: DataFrame, candidates: DataFrame, n: int = 3
 ) -> DataFrame:
     """Exact n-gram (character shingle) Jaccard verification over candidate
-    pairs — the expensive step runs ONLY on LSH survivors."""
-    grams = documents.select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                f"transform(sequence(1, greatest(length(text) - {n - 1}, 1)),"
-                f" i -> substring(text, i, {n}))"
-            )
-        ).alias("grams"),
+    pairs — the expensive step runs ONLY on LSH survivors.
+
+    Kernel note (measured, r03): the original pure-JVM form generated
+    grams with `transform(sequence(...), i -> substring(text, i, n))` —
+    Catalyst evaluates higher-order-function lambdas interpreted
+    (~1µs/element), so 1k docs × 3k grams cost ~3 s at sf0.1. The gram
+    sets + intersection now run in one Arrow batch over the joined
+    candidate pairs (Python set ops, ~100× less per-element cost);
+    semantics are unchanged: distinct character n-grams, the whole text
+    as the single gram when shorter than n, empty-string gram for empty
+    text. The division happens in the batch (IEEE double, identical to
+    the JVM's); only the final `F.round` half-up stays JVM-side so the
+    DuckDB oracle's `round` matches bit-for-bit."""
+    ta = documents.select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
     )
-    ga = grams.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
-    gb = grams.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
-    return (
-        candidates.join(ga, on="doc_a").join(gb, on="doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.size(F.array_intersect("ga", "gb"))
-                / F.size(F.array_union("ga", "gb")),
-                4,
-            ).alias("jaccard"),
-        )
+    tb = documents.select(
+        F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b")
+    )
+    pairs = candidates.join(ta, on="doc_a").join(tb, on="doc_b")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def gram_set(s: str | None) -> set:
+            s = s or ""
+            return {s[i:i + n] for i in range(max(len(s) - n + 1, 1))}
+
+        for pdf in batches:
+            jac = [
+                len(ga & gb) / len(ga | gb)
+                for ga, gb in (
+                    (gram_set(a), gram_set(b))
+                    for a, b in zip(pdf["text_a"], pdf["text_b"])
+                )
+            ]
+            yield pd.DataFrame(
+                {"doc_a": pdf["doc_a"], "doc_b": pdf["doc_b"], "jacc": jac}
+            )
+
+    raw = pairs.mapInPandas(
+        run,
+        schema=T.StructType(
+            [
+                T.StructField("doc_a", T.LongType()),
+                T.StructField("doc_b", T.LongType()),
+                T.StructField("jacc", T.DoubleType()),
+            ]
+        ),
+    )
+    return raw.select(
+        "doc_a", "doc_b", F.round("jacc", 4).alias("jaccard")
     )
