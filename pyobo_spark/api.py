@@ -100,6 +100,19 @@ class OntologyCatalog:
         )
         return rows[0]["name"] if rows else None
 
+    def get_name_by_curie(self, curie: str) -> str | None:
+        """api/names.py get_name_by_curie — CURIE-shaped name lookup
+        (with alt upgrade via get_name)."""
+        p, i = curie.split(":", 1)
+        return self.get_name(p.lower(), i)
+
+    def get_id_definition_mapping(self, prefix: str) -> dict[str, str]:
+        """api/names.py get_id_definition_mapping."""
+        df = exports.definitions(
+            self.terms.where(F.col("prefix") == prefix)
+        )
+        return {r["identifier"]: r["definition"] for r in df.collect()}
+
     def get_definition(self, prefix: str, identifier: str) -> str | None:
         """api/names.py definition lookup w/ reference cleanup."""
         df = exports.definitions(
@@ -131,6 +144,10 @@ class OntologyCatalog:
             self.synonyms.where(F.col("prefix") == prefix)
         )
         return {r["identifier"]: list(r["synonyms"]) for r in df.collect()}
+
+    def get_synonyms(self, prefix: str, identifier: str) -> list[str]:
+        """api/names.py get_synonyms — one term's sorted synonyms."""
+        return self.get_id_synonyms_mapping(prefix).get(identifier, [])
 
     def _empty(self, ddl: str) -> DataFrame:
         return self._spark.createDataFrame([], ddl)
@@ -252,6 +269,14 @@ class OntologyCatalog:
         )
         return {r["identifier"]: list(r["alt_ids"]) for r in df.collect()}
 
+    def get_alts_to_id(self, prefix: str) -> dict[str, str]:
+        """api/alts.py:52-63 — alt id → primary id."""
+        rows = (
+            self.alts.where(F.col("prefix") == prefix)
+            .select("alt_id", "identifier").collect()
+        )
+        return {r["alt_id"]: r["identifier"] for r in rows}
+
     def get_primary_identifier(self, prefix: str, identifier: str) -> str:
         """api/alts.py:89-105 — alts_to_id.get(id, id)."""
         rows = (
@@ -260,6 +285,11 @@ class OntologyCatalog:
             ).select("identifier").collect()
         )
         return rows[0]["identifier"] if rows else identifier
+
+    def get_primary_curie(self, curie: str) -> str:
+        """api/alts.py:110-122 — CURIE-shaped alt upgrade."""
+        p, i = curie.split(":", 1)
+        return f"{p.lower()}:{self.get_primary_identifier(p.lower(), i)}"
 
     # ---- xrefs / mappings (api/xrefs.py) ----
     def get_xrefs_df(self, prefix: str) -> DataFrame:
@@ -343,6 +373,44 @@ class OntologyCatalog:
         df = exports.species(self.relations.where(F.col("prefix") == prefix))
         return {r["identifier"]: r["taxonomy_id"] for r in df.collect()}
 
+    def get_species(self, prefix: str, identifier: str) -> str | None:
+        """api/species.py:50-66 — single-term taxonomy lookup."""
+        return self.get_id_species_mapping(prefix).get(
+            self.get_primary_identifier(prefix, identifier)
+        )
+
+    def get_relation(
+        self,
+        prefix: str,
+        identifier: str,
+        relation: tuple[str, str],
+        target_prefix: str,
+    ) -> str | None:
+        """api/relations.py get_relation — single relation target."""
+        return self.get_relation_mapping(prefix, relation, target_prefix).get(
+            identifier
+        )
+
+    def get_xref(
+        self, prefix: str, identifier: str, xref_prefix: str
+    ) -> str | None:
+        """api/xrefs.py:40-57 — single xref target."""
+        return self.get_filtered_xrefs(prefix, xref_prefix).get(identifier)
+
+    def get_sssom_df(self, prefix: str) -> DataFrame:
+        """api/xrefs.py get_sssom_df — alias of the SSSOM mapping rows."""
+        return self.get_mappings_df(prefix)
+
+    def get_id_multirelations_mapping(
+        self, prefix: str, relation: tuple[str, str]
+    ) -> dict[str, list[str]]:
+        """api/relations.py get_id_multirelations_mapping — every target
+        CURIE per identifier for one predicate."""
+        df = exports.relation_multimapping_list(
+            self.relations.where(F.col("prefix") == prefix), *relation
+        )
+        return {r["identifier"]: list(r["targets"]) for r in df.collect()}
+
     # ---- properties (api/properties.py) ----
     def get_properties_df(self, prefix: str) -> DataFrame:
         obj = (
@@ -359,6 +427,15 @@ class OntologyCatalog:
         # rows with unstripped identifiers
         return exports.properties_combined(
             self.properties.where(mine), obj.where(mine), prefix.lower()
+        )
+
+    def get_property(
+        self, prefix: str, identifier: str, prop: str
+    ) -> str | None:
+        """api/properties.py:157-176 — single property value via the
+        filtered-properties mapping."""
+        return self.get_filtered_properties_mapping(prefix, prop).get(
+            identifier
         )
 
     def get_filtered_properties_mapping(
@@ -496,6 +573,23 @@ class OntologyCatalog:
             hierarchy.curie_edges(self.parents, prefix),
             self._as_curie(prefix, root),
         )
+
+    def get_graph(self, prefix: str, version: str | None = None) -> dict:
+        """api/edges.py get_graph / struct.py to_obonet — the full graph
+        as a networkx-compatible node-link dict (feed to
+        ``networkx.node_link_graph`` for the reference's MultiDiGraph)."""
+        from .operators.obonet_export import node_link_document
+
+        return node_link_document(
+            self.terms, self.synonyms, self.xrefs, self.relations,
+            self.parents, prefix, version=version or self.get_version(prefix),
+        )
+
+    def get_obsolete_references(self, prefix: str) -> set[str]:
+        """api/names.py get_obsolete_references — CURIE-shaped obsolete
+        set."""
+        p = prefix.lower()
+        return {f"{p}:{i}" for i in self.get_obsolete(p)}
 
     def get_edges_df(self, prefix: str) -> DataFrame:
         typedefs = self._spark.createDataFrame(

@@ -324,6 +324,28 @@ def relation_multimapping(
     )
 
 
+def relation_multimapping_list(
+    relations: DataFrame, relation_prefix: str, relation_id: str
+) -> DataFrame:
+    """get_id_multirelations_mapping (api/relations.py): id → sorted
+    array of target CURIEs for one predicate, across ALL target
+    prefixes (the reference returns References, not bare ids)."""
+    return (
+        relations.where(
+            (F.col("relation_prefix") == relation_prefix)
+            & (F.col("relation_id") == relation_id)
+        )
+        .groupBy("identifier")
+        .agg(
+            F.sort_array(
+                F.collect_set(
+                    F.concat_ws(":", "target_prefix", "target_id")
+                )
+            ).alias("targets")
+        )
+    )
+
+
 def name_id_mapping(terms: DataFrame) -> DataFrame:
     """get_name_id_mapping (api/names.py:239-245) — inverted names map.
     The reference builds a dict (last-wins on collision); we make the

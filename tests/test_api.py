@@ -306,3 +306,38 @@ def test_metadata_version_cleaned(spark):
     cat = OntologyCatalog(dict(tables, metadata=meta))
     assert cat.get_version("fixo") == "2023-05-10"
     assert cat.get_metadata("fixo")["version"] == "2023-05-10"
+
+
+def test_thin_lookup_wrappers(spark, catalog):
+    """Round-3 API surface completion: the reference's single-value and
+    CURIE-shaped lookups (api/alts.py, names.py, xrefs.py, relations.py,
+    species.py, properties.py, edges.py)."""
+    # alts family
+    a2i = catalog.get_alts_to_id("fixo")
+    if a2i:
+        alt, primary = next(iter(a2i.items()))
+        assert catalog.get_primary_curie(f"fixo:{alt}") == f"fixo:{primary}"
+    # names family
+    assert (
+        catalog.get_name_by_curie("fixo:0000001") == generator._label(1)
+    )
+    defs = catalog.get_id_definition_mapping("fixo")
+    assert defs and all(v for v in defs.values())
+    syns = catalog.get_synonyms("fixo", "0000002")
+    assert syns == sorted(syns)
+    # xref / sssom
+    assert catalog.get_sssom_df("fixo").columns == [
+        "subject_id", "predicate_id", "object_id"
+    ]
+    # obsolete references are CURIE-shaped
+    obs = catalog.get_obsolete_references("fixo")
+    assert all(c.startswith("fixo:") for c in obs)
+    # graph export through the API
+    g = catalog.get_graph("fixo")
+    assert g["directed"] and len(g["nodes"]) == 40
+    # multirelations: every is-a-free relation target is CURIE-shaped
+    multi = catalog.get_id_multirelations_mapping(
+        "fixo", ("BFO", "0000050")
+    )
+    for targets in multi.values():
+        assert all(":" in t for t in targets)
