@@ -397,6 +397,21 @@ class OntologyCatalog:
         """api/xrefs.py:40-57 — single xref target."""
         return self.get_filtered_xrefs(prefix, xref_prefix).get(identifier)
 
+    def get_xrefs(self, prefix: str, identifier: str) -> list[str]:
+        """api/xrefs.py get_xrefs — one term's xref target CURIEs."""
+        rows = (
+            self.xrefs.where(
+                (F.col("prefix") == prefix.lower())
+                & (F.col("identifier") == identifier)
+            )
+            .select(
+                F.concat_ws(":", "target_prefix", "target_id").alias("t")
+            )
+            .distinct()
+            .collect()
+        )
+        return sorted(r["t"] for r in rows)
+
     def get_sssom_df(self, prefix: str) -> DataFrame:
         """api/xrefs.py get_sssom_df — alias of the SSSOM mapping rows."""
         return self.get_mappings_df(prefix)
@@ -427,6 +442,30 @@ class OntologyCatalog:
         # rows with unstripped identifiers
         return exports.properties_combined(
             self.properties.where(mine), obj.where(mine), prefix.lower()
+        )
+
+    def get_literal_properties_df(self, prefix: str) -> DataFrame:
+        """api/properties.py get_literal_properties_df — the literal
+        (value-typed) property rows only."""
+        props = (
+            self.properties
+            if self.properties is not None
+            else self._empty_object_props_literal()
+        )
+        return props.where(
+            F.col("source_curie").startswith(f"{prefix.lower()}:")
+        )
+
+    def get_object_properties_df(self, prefix: str) -> DataFrame:
+        """api/properties.py get_object_properties_df — the object
+        (reference-typed) property rows only."""
+        props = (
+            self.object_properties
+            if self.object_properties is not None
+            else self._empty_object_props()
+        )
+        return props.where(
+            F.col("source_curie").startswith(f"{prefix.lower()}:")
         )
 
     def get_property(
@@ -511,6 +550,27 @@ class OntologyCatalog:
             emb,
             self._as_curie(prefix, identifier_a),
             self._as_curie(prefix, identifier_b),
+        )
+
+    def get_text_embedding(
+        self, prefix: str, identifier: str
+    ) -> list[float] | None:
+        """api/embedding.py get_text_embedding — one term's vector."""
+        rows = (
+            self.get_text_embeddings_df(prefix)
+            .where(F.col("identifier") == identifier)
+            .select("vector")
+            .collect()
+        )
+        return list(rows[0]["vector"]) if rows else None
+
+    def get_text_embedding_similarity(
+        self, prefix: str, identifier_a: str, identifier_b: str
+    ) -> float | None:
+        """Reference-named alias of get_embedding_similarity
+        (api/embedding.py get_text_embedding_similarity)."""
+        return self.get_embedding_similarity(
+            prefix, identifier_a, identifier_b
         )
 
     def get_nearest_terms(
