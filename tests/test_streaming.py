@@ -182,3 +182,47 @@ def test_streaming_session_windows(spark, tmp_path):
     assert got == {(1, t(0), 3), (1, t(120), 2), (2, t(0), 1)}
     # the advancer's own session is still open → not emitted
     assert not any(u == 99 for u, _, _ in got)
+
+
+def test_streaming_exact_dedup_catchup(spark, tmp_path):
+    """Incremental exact dedup against the materialized sink: re-posted
+    content never re-enters, across separate availableNow runs."""
+    from pyobo_spark.streaming.dedup import stream_exact_dedup_catchup
+
+    in_dir = str(tmp_path / "din")
+    out_dir = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+
+    spark.createDataFrame(
+        [(1, "alpha doc"), (2, "alpha doc"), (3, "beta doc")], SCHEMA
+    ).write.mode("append").parquet(in_dir)
+    stream_exact_dedup_catchup(spark, in_dir, SCHEMA, ckpt, out_dir)
+    first = spark.read.parquet(out_dir)
+    assert {r["doc_id"] for r in first.collect()} == {1, 3}
+
+    # second run: a re-post of 'alpha doc' and one new doc
+    spark.createDataFrame(
+        [(4, "alpha doc"), (5, "gamma doc")], SCHEMA
+    ).write.mode("append").parquet(in_dir)
+    stream_exact_dedup_catchup(spark, in_dir, SCHEMA, ckpt, out_dir)
+    second = spark.read.parquet(out_dir)
+    assert {r["doc_id"] for r in second.collect()} == {1, 3, 5}
+
+
+def test_streaming_exact_dedup_watermarked(spark, tmp_path):
+    """Native dropDuplicatesWithinWatermark path: duplicates inside one
+    catch-up pass are dropped."""
+    from pyobo_spark.streaming.dedup import stream_exact_dedup
+
+    in_dir = str(tmp_path / "win")
+    out_dir = str(tmp_path / "wout")
+    ckpt = str(tmp_path / "wckpt")
+
+    spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other text")], SCHEMA
+    ).write.mode("append").parquet(in_dir)
+    stream_exact_dedup(spark, in_dir, SCHEMA, ckpt, out_dir)
+    out = spark.read.parquet(out_dir)
+    texts = [r["text"] for r in out.collect()]
+    assert sorted(set(texts)) == ["other text", "same text"]
+    assert len(texts) == 2
