@@ -89,6 +89,12 @@ class ParsedOntology:
     # header metadata
     date: str | None = None          # ISO-8601 (parsed from %d:%m:%Y %H:%M)
     idspaces: dict[str, str] = field(default_factory=dict)
+    # header vocab declarations (reader.py test_7/test_8/test_16
+    # semantics): subsetdef CURIE → comment; synonymtypedef records;
+    # remark lines (stored by the reference as comment property values)
+    subsetdefs: dict[str, str] = field(default_factory=dict)
+    synonym_typedefs: list[dict] = field(default_factory=list)
+    remarks: list[str] = field(default_factory=list)
 
 
 _ESCAPES = {"n": "\n", "t": "\t", "W": " ", ":": ":", ",": ",", '"': '"',
@@ -258,6 +264,49 @@ def parse_obo_text(text: str) -> ParsedOntology:
                 parts = value.split(None, 2)
                 if len(parts) >= 2:
                     po.idspaces[parts[0]] = parts[1]
+            elif tag == "subsetdef":
+                # `TOKEN "comment"` — bare tokens become the OBO default
+                # reference obo:{prefix}#TOKEN; CURIEs parse; the purl
+                # URI form strips back to the default reference; ids
+                # that can't be a CURIE prefix (e.g. `1:STAR`) are
+                # dropped like the reference's blocked normalization
+                # (test_reader_ontology.py test_7_*)
+                m = re.match(r'^(\S+)\s+"((?:[^"\\]|\\.)*)"', value)
+                if m:
+                    token, comment = m.group(1), m.group(2)
+                    uri_form = f"http://purl.obolibrary.org/obo/{po.prefix}#"
+                    if token.startswith(uri_form):
+                        key = f"obo:{po.prefix}#{token[len(uri_form):]}"
+                    elif ":" in token:
+                        pfx = token.split(":", 1)[0]
+                        key = token if re.match(r"^[A-Za-z_]", pfx) else None
+                    else:
+                        key = f"obo:{po.prefix}#{token}"
+                    if key is not None:
+                        po.subsetdefs[key] = comment
+            elif tag == "synonymtypedef":
+                # `ID "name" [SPECIFICITY]` — invalid specificity tokens
+                # fall back to None (strict=False path of test_8)
+                m = re.match(r'^(\S+)\s+"((?:[^"\\]|\\.)*)"\s*(\S*)', value)
+                if m:
+                    token, name, spec = m.groups()
+                    key = (
+                        token if ":" in token
+                        else f"obo:{po.prefix}#{token}"
+                    )
+                    spec_norm = spec.upper() if spec else ""
+                    po.synonym_typedefs.append(
+                        {
+                            "curie": key,
+                            "name": name,
+                            "specificity": spec_norm
+                            if spec_norm in ("EXACT", "BROAD", "NARROW",
+                                             "RELATED")
+                            else None,
+                        }
+                    )
+            elif tag == "remark":
+                po.remarks.append(value)
             continue
 
         if stanza_type == "Typedef":

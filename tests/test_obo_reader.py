@@ -482,3 +482,47 @@ def test_typedef_xref_is_a_roundtrip(spark):
     po2 = parse_obo_text("format-version: 1.4\nontology: tsto\n\n" + text)
     assert po2.typedefs[0]["xrefs"] == ["RO:0002212"]
     assert po2.typedefs[0]["parents"] == ["RO:0002211"]
+
+
+def test_golden_header_subsetdef_reference_fixtures():
+    """subsetdef forms (test_reader_ontology.py test_7_*): bare token →
+    obo:{prefix}#token default reference; CURIE kept; blocked numeric
+    prefix dropped; purl URI stripped to the default reference."""
+    po = parse_obo_text(
+        "ontology: chebi\n"
+        'subsetdef: TEST "comment"\n'
+        'subsetdef: TEST2 "comment2"\n'
+        'subsetdef: obo:test "name"\n'
+        'subsetdef: 1:STAR "Preliminary entries"\n'
+        'subsetdef: http://purl.obolibrary.org/obo/chebi#T3 "n3"\n'
+    )
+    assert po.subsetdefs == {
+        "obo:chebi#TEST": "comment",
+        "obo:chebi#TEST2": "comment2",
+        "obo:test": "name",
+        "obo:chebi#T3": "n3",
+    }
+
+
+def test_golden_header_synonymtypedef_reference_fixture():
+    """synonymtypedef (test_8): lowercase specificity normalizes to
+    upper; garbage specificity falls back to None (strict=False path)."""
+    po = parse_obo_text(
+        "ontology: chebi\n"
+        'synonymtypedef: ST1 "ST1 Name" EXACT\n'
+        'synonymtypedef: ST3 "ST3 Name"\n'
+        'synonymtypedef: ST4 "ST4 Name" exact\n'
+        'synonymtypedef: ST5 "ST5 Name" garbage\n'
+        'synonymtypedef: OMO:0000001 "E1 Name" NARROW\n'
+    )
+    by = {d["curie"]: d for d in po.synonym_typedefs}
+    assert by["obo:chebi#ST1"]["specificity"] == "EXACT"
+    assert by["obo:chebi#ST3"]["specificity"] is None
+    assert by["obo:chebi#ST4"]["specificity"] == "EXACT"
+    assert by["obo:chebi#ST5"]["specificity"] is None
+    assert by["OMO:0000001"]["name"] == "E1 Name"
+
+
+def test_golden_header_remark_reference_fixture():
+    po = parse_obo_text("ontology: ro\nremark: hello 1\nremark: hello 2\n")
+    assert po.remarks == ["hello 1", "hello 2"]
