@@ -86,6 +86,7 @@ class ParsedOntology:
     # logical definitions (struct_utils edges legs: intersections/unions)
     intersections: list[dict] = field(default_factory=list)
     unions: list[dict] = field(default_factory=list)
+    disjoints: list[dict] = field(default_factory=list)
     # header metadata
     date: str | None = None          # ISO-8601 (parsed from %d:%m:%Y %H:%M)
     idspaces: dict[str, str] = field(default_factory=dict)
@@ -477,6 +478,53 @@ def parse_obo_text(text: str) -> ParsedOntology:
                  "predicate_curie": "rdfs:comment", "value": value,
                  "datatype": "xsd:string", "language": None}
             )
+        elif tag in ("is_anonymous", "builtin") and "id" in cur:
+            # boolean stanza flags (reader test_2 / test_11) — stored as
+            # typed literal properties (the long-table representation of
+            # the reference's term.is_anonymous / term.builtin fields)
+            prefix, local = _split_curie(cur["id"])
+            po.properties.append(
+                {"source_curie": f"{prefix.lower()}:{local}",
+                 "predicate_curie": f"oboInOwl:{tag}",
+                 "value": "true" if value == "true" else "false",
+                 "datatype": "xsd:boolean", "language": None}
+            )
+        elif tag == "disjoint_from" and "id" in cur:
+            # term.disjoint_from list (reader test_17; DisjointClasses
+            # in the OFN export)
+            prefix, local = _split_curie(cur["id"])
+            tp_, ti = _split_curie(value)
+            po.disjoints.append(
+                {"prefix": prefix.lower(), "identifier": local,
+                 "target_prefix": tp_.lower(), "target_id": ti}
+            )
+        elif tag == "created_by" and "id" in cur:
+            prefix, local = _split_curie(cur["id"])
+            po.properties.append(
+                {"source_curie": f"{prefix.lower()}:{local}",
+                 "predicate_curie": "oboInOwl:created_by", "value": value,
+                 "datatype": "xsd:string", "language": None}
+            )
+        elif tag == "creation_date" and "id" in cur:
+            # ISO-8601 datetime property; unparsable values are dropped
+            # with a warning like the reference (_process_creation_date,
+            # reader.py:379-388; test_20_creation_date_bad_format)
+            import datetime as _dt
+
+            prefix, local = _split_curie(cur["id"])
+            try:
+                parsed = _dt.datetime.fromisoformat(
+                    value.replace("Z", "+00:00")
+                )
+            except ValueError:
+                pass
+            else:
+                po.properties.append(
+                    {"source_curie": f"{prefix.lower()}:{local}",
+                     "predicate_curie": "oboInOwl:creation_date",
+                     "value": parsed.isoformat(),
+                     "datatype": "xsd:dateTime", "language": None}
+                )
         elif tag == "property_value" and "id" in cur:
             prefix, local = _split_curie(cur["id"])
             parts = value.split(" ", 1)
@@ -660,7 +708,8 @@ def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
                 for tname in ("terms", "synonyms", "xrefs", "relations",
                               "parents", "alts", "properties", "typedefs",
                               "intersections", "replaced_by", "considers",
-                              "subsets", "unions", "object_properties"):
+                              "subsets", "unions", "disjoints",
+                              "object_properties"):
                     for r in getattr(po, tname):
                         tables.append(tname)
                         rows.append(json.dumps(r))
@@ -771,6 +820,14 @@ def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
             ]
         ),
         "unions": T.StructType(
+            [
+                T.StructField("prefix", T.StringType()),
+                T.StructField("identifier", T.StringType()),
+                T.StructField("target_prefix", T.StringType()),
+                T.StructField("target_id", T.StringType()),
+            ]
+        ),
+        "disjoints": T.StructType(
             [
                 T.StructField("prefix", T.StringType()),
                 T.StructField("identifier", T.StringType()),

@@ -526,3 +526,35 @@ def test_golden_header_synonymtypedef_reference_fixture():
 def test_golden_header_remark_reference_fixture():
     po = parse_obo_text("ontology: ro\nremark: hello 1\nremark: hello 2\n")
     assert po.remarks == ["hello 1", "hello 2"]
+
+
+def test_golden_term_flag_and_provenance_tags():
+    """disjoint_from / created_by / creation_date / is_anonymous /
+    builtin (test_reader.py test_2, test_11, test_17, test_20): stored
+    as disjoints rows and typed literal properties; a malformed
+    creation_date is dropped."""
+    po = parse_obo_text(
+        "ontology: chebi\n\n[Term]\nid: CHEBI:1\n"
+        "disjoint_from: CHEBI:2\ndisjoint_from: CHEBI:3\n"
+        "created_by: someone\ncreation_date: 2022-07-26T19:27:20Z\n"
+        "is_anonymous: true\nbuiltin: false\n\n"
+        "[Term]\nid: CHEBI:4\ncreation_date: asgasgag\n"
+    )
+    assert [(d["target_prefix"], d["target_id"]) for d in po.disjoints] == [
+        ("chebi", "2"), ("chebi", "3")
+    ]
+    props = {
+        (p["predicate_curie"], p["value"], p["datatype"])
+        for p in po.properties if p["source_curie"] == "chebi:1"
+    }
+    assert ("oboInOwl:created_by", "someone", "xsd:string") in props
+    assert (
+        "oboInOwl:creation_date", "2022-07-26T19:27:20+00:00",
+        "xsd:dateTime",
+    ) in props
+    assert ("oboInOwl:is_anonymous", "true", "xsd:boolean") in props
+    assert ("oboInOwl:builtin", "false", "xsd:boolean") in props
+    # bad datetime dropped entirely
+    assert not [
+        p for p in po.properties if p["source_curie"] == "chebi:4"
+    ]
