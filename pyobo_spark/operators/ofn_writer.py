@@ -69,6 +69,7 @@ def ofn_axioms(
     alts: DataFrame,
     prefix: str,
     typedefs: DataFrame | None = None,
+    disjoints: DataFrame | None = None,
 ) -> DataFrame:
     """(sort_id, family, value) — one OFN axiom per row, map-only."""
     t = terms.where(F.col("prefix") == prefix)
@@ -77,7 +78,7 @@ def ofn_axioms(
     def fam(df, order, line):
         return df.select(
             F.col("identifier").alias("sort_id"),
-            F.lit(order).alias("family"),
+            F.lit(float(order)).cast("double").alias("family"),
             line.alias("value"),
         )
 
@@ -184,6 +185,35 @@ def ofn_axioms(
             ),
         )
     )
+    # equivalent_to / macro-equivalent xrefs → EquivalentClasses (#16)
+    out = out.unionByName(
+        fam(
+            xrefs.where(
+                (F.col("prefix") == prefix)
+                & (F.col("predicate") == "owl:equivalentClass")
+            ),
+            7.5,
+            F.concat(
+                F.lit("EquivalentClasses("), ent, F.lit(" "),
+                _obo_entity(F.col("target_prefix"), F.col("target_id")),
+                F.lit(")"),
+            ),
+        )
+    )
+    if disjoints is not None:
+        out = out.unionByName(
+            fam(
+                disjoints.where(F.col("prefix") == prefix),
+                7.7,
+                F.concat(
+                    F.lit("DisjointClasses("), ent, F.lit(" "),
+                    _obo_entity(
+                        F.col("target_prefix"), F.col("target_id")
+                    ),
+                    F.lit(")"),
+                ),
+            )
+        )
     out = out.unionByName(
         fam(
             t.where(F.col("is_obsolete")),
@@ -243,20 +273,21 @@ def write_ofn(
     path: str,
     version: str | None = None,
     typedefs: DataFrame | None = None,
+    disjoints: DataFrame | None = None,
 ) -> None:
     """Distributed OFN document: header rows ∪ axiom rows, globally
     ordered (header → axioms by (term, family) → footer), write.text."""
     ax = ofn_axioms(
         terms, synonyms, xrefs, relations, parents, alts, prefix,
-        typedefs=typedefs,
+        typedefs=typedefs, disjoints=disjoints,
     )
     spark = terms.sparkSession
     head = spark.createDataFrame(
-        [(0, "", i, v) for i, v in enumerate(_header(prefix, version))],
-        "ord int, sort_id string, family int, value string",
+        [(0, "", float(i), v) for i, v in enumerate(_header(prefix, version))],
+        "ord int, sort_id string, family double, value string",
     )
     foot = spark.createDataFrame(
-        [(2, "", 0, ")")], "ord int, sort_id string, family int, value string"
+        [(2, "", 0.0, ")")], "ord int, sort_id string, family double, value string"
     )
     (
         head.unionByName(
@@ -282,12 +313,13 @@ def ofn_document(
     prefix: str,
     version: str | None = None,
     typedefs: DataFrame | None = None,
+    disjoints: DataFrame | None = None,
 ) -> str:
     """Bounded driver-side assembly of the same document (tests /
     small-ontology convenience; same contract note as obo_document)."""
     ax = ofn_axioms(
         terms, synonyms, xrefs, relations, parents, alts, prefix,
-        typedefs=typedefs,
+        typedefs=typedefs, disjoints=disjoints,
     )
     rows = ax.orderBy("sort_id", "family", "value").collect()
     body = [r["value"] for r in rows]

@@ -87,3 +87,36 @@ def test_write_ofn_distributed_matches_document(spark, tables, tmp_path):
     parts = sorted(glob.glob(out + "/part-*"))
     got = "".join(open(p).read() for p in parts)
     assert got == want
+
+
+def test_ofn_equivalent_and_disjoint_axioms(spark):
+    terms = spark.createDataFrame(
+        [("fixo", "0000001", "a", None, False)],
+        "prefix string, identifier string, name string, definition string, "
+        "is_obsolete boolean",
+    )
+    empty = lambda ddl: spark.createDataFrame([], ddl)  # noqa: E731
+    xr = spark.createDataFrame(
+        [("fixo", "0000001", "owl:equivalentClass", "chebi", "99")],
+        "prefix string, identifier string, predicate string, "
+        "target_prefix string, target_id string",
+    )
+    dj = spark.createDataFrame(
+        [("fixo", "0000001", "fixo", "0000002")],
+        "prefix string, identifier string, target_prefix string, "
+        "target_id string",
+    )
+    doc = ofn_writer.ofn_document(
+        terms,
+        empty("prefix string, identifier string, text string, predicate string"),
+        xr,
+        empty("prefix string, identifier string, relation_prefix string, "
+              "relation_id string, target_prefix string, target_id string"),
+        empty("child_prefix string, child string, parent_prefix string, "
+              "parent string"),
+        empty("prefix string, identifier string, alt_id string"),
+        "fixo",
+        disjoints=dj,
+    )
+    assert "EquivalentClasses(obo:fixo_0000001 obo:CHEBI_99)" in doc
+    assert "DisjointClasses(obo:fixo_0000001 obo:fixo_0000002)" in doc
