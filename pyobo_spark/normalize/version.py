@@ -22,7 +22,31 @@ from __future__ import annotations
 import re
 from datetime import datetime
 
-__all__ = ["cleanup_version", "prioritize_version"]
+__all__ = ["cleanup_version", "get_version_pins", "prioritize_version"]
+
+
+def get_version_pins() -> dict[str, str]:
+    """User-defined resource version pins from the PYOBO_VERSION_PINS
+    env var — a JSON object of {prefix: version} strings (reference
+    ``utils/ver.py:93-126``). Invalid JSON and non-string entries are
+    dropped, not raised (tests/test_get_version.py)."""
+    import json
+    import os
+
+    raw = os.getenv("PYOBO_VERSION_PINS")
+    if not raw:
+        return {}
+    try:
+        pins = json.loads(raw)
+    except ValueError:
+        return {}
+    if not isinstance(pins, dict):
+        return {}
+    return {
+        p: v
+        for p, v in pins.items()
+        if isinstance(p, str) and isinstance(v, str)
+    }
 
 # full-string rewrites for static resources with bizarre version IRIs
 _REWRITES = {
@@ -123,6 +147,9 @@ def prioritize_version(
     version > the graph's data-version > date fallback; known-bad values
     yield None. Mirrors ``_prioritize_version`` (utils/misc.py:158-215).
     """
+    pins = get_version_pins()
+    if prefix in pins:
+        return pins[prefix]
     if prefix in _STATIC_BY_PREFIX:
         return _STATIC_BY_PREFIX[prefix]
     if injected_version:

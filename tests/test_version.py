@@ -74,3 +74,24 @@ def test_prioritize_version():
         prioritize_version(None, "x", date=datetime(2022, 2, 3)) == "2022-02-03"
     )
     assert prioritize_version(None, "x") is None
+
+
+def test_version_pins(monkeypatch):
+    """PYOBO_VERSION_PINS env (utils/ver.py:93-126 + test_get_version):
+    valid pins win over every other signal; faulty JSON / non-string
+    entries are silently dropped."""
+    from pyobo_spark.normalize.version import get_version_pins
+
+    monkeypatch.delenv("PYOBO_VERSION_PINS", raising=False)
+    assert get_version_pins() == {}
+    monkeypatch.setenv("PYOBO_VERSION_PINS", "")
+    assert get_version_pins() == {}
+    monkeypatch.setenv("PYOBO_VERSION_PINS", "{not json")
+    assert get_version_pins() == {}
+    monkeypatch.setenv(
+        "PYOBO_VERSION_PINS", '{"go": "2020-01-01", "chebi": 7}'
+    )
+    assert get_version_pins() == {"go": "2020-01-01"}
+    # a pin overrides data-version, injected version, and static rewrites
+    monkeypatch.setenv("PYOBO_VERSION_PINS", '{"orth": "99"}')
+    assert prioritize_version("3", "orth", injected_version="4") == "99"
