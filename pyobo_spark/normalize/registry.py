@@ -154,3 +154,21 @@ class Registry:
             if uri.startswith(upfx):
                 return prefix, uri[len(upfx):]
         return None
+
+
+def parse_ec_transfer(value: str) -> list[str]:
+    """Parse an ExPASy 'Transferred entry:' line into the EC codes it
+    points at (reference sources/expasy.py:286-300, tested by
+    test_utils.py test_parse_eccode_transfer): strips the lead phrase,
+    trailing period, and splits on ', ' / ' and '."""
+    lead = "Transferred entry: "
+    if value.startswith(lead):
+        value = value[len(lead):]
+    value = value.rstrip().rstrip(".")
+    out: list[str] = []
+    for chunk in value.split(","):
+        for part in chunk.split(" and "):
+            part = part.strip()
+            if part:
+                out.append(part)
+    return out

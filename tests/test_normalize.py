@@ -78,3 +78,22 @@ def test_normalize_curies_df(spark):
         for r in parse_metrics(normalize_curies(df, "raw")).collect()
     }
     assert metrics["ok"] == 2
+
+
+def test_parse_ec_transfer_reference_cases():
+    """The four reference golden cases (test_utils.py:62-80)."""
+    from pyobo_spark.normalize.registry import parse_ec_transfer
+
+    want = ["1.1.1.198", "1.1.1.227", "1.1.1.228"]
+    assert parse_ec_transfer(
+        "Transferred entry: 1.1.1.198, 1.1.1.227 and 1.1.1.228."
+    ) == want
+    assert parse_ec_transfer(
+        "Transferred entry: 1.1.1.198, 1.1.1.227 and 1.1.1.228"
+    ) == want
+    assert parse_ec_transfer(
+        "Transferred entry: 1.1.1.198, 1.1.1.227, and 1.1.1.228"
+    ) == want
+    assert parse_ec_transfer(
+        "Transferred entry: 1.1.1.198 and 1.1.1.228."
+    ) == ["1.1.1.198", "1.1.1.228"]
