@@ -78,6 +78,16 @@ def parse_one(raw: str, registry: Registry, ontology_prefix: str | None = None):
             return None, None, "not_curie"
         raw_prefix, identifier = s.split(":", 1)
         prefix = registry.normalize_prefix(raw_prefix)
+        if prefix is None and ontology_prefix:
+            # resource-specific remap: some raw prefixes only resolve
+            # inside a particular ontology's context
+            from .registry import RESOURCE_PREFIX_REMAPS
+
+            hit = RESOURCE_PREFIX_REMAPS.get(
+                (ontology_prefix.lower(), raw_prefix.lower())
+            )
+            if hit is not None:
+                return hit, identifier.strip(), OK
         if prefix is None:
             return None, None, "unregistered_prefix"
     rec = registry.records[prefix]

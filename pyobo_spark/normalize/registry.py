@@ -77,6 +77,14 @@ REMAP_FULL: dict[str, tuple[str, str]] = {
     "in_taxon": ("RO", "0002162"),
 }
 
+# resource-specific prefix remaps: a raw prefix that only normalizes
+# inside a particular ontology's context (reference: curated per-resource
+# remappings exercised by test_utils.py test_strip_prefix — 'Thesaurus'
+# means ncit only inside enm). Keyed (ontology_prefix, raw_prefix_lower).
+RESOURCE_PREFIX_REMAPS: dict[tuple[str, str], str] = {
+    ("enm", "thesaurus"): "ncit",
+}
+
 # relation-label grounding (reference: ground_relation,
 # identifier_utils/relations/api.py:66-72 — label normalized by stripping
 # space/underscore/colon + lowercase, then looked up in a packaged map).

@@ -97,3 +97,18 @@ def test_parse_ec_transfer_reference_cases():
     assert parse_ec_transfer(
         "Transferred entry: 1.1.1.198 and 1.1.1.228."
     ) == ["1.1.1.198", "1.1.1.228"]
+
+
+def test_resource_specific_prefix_remap():
+    """'Thesaurus:C1234' only normalizes (to ncit) inside the enm
+    ontology context (reference test_utils.py test_strip_prefix)."""
+    from pyobo_spark.normalize.curie import parse_one
+    from pyobo_spark.normalize.registry import Registry
+
+    reg = Registry.default()
+    assert parse_one("Thesaurus:C1234", reg) == (
+        None, None, "unregistered_prefix"
+    )
+    assert parse_one("Thesaurus:C1234", reg, ontology_prefix="enm") == (
+        "ncit", "C1234", "ok"
+    )
