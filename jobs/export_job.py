@@ -48,53 +48,63 @@ def main() -> None:
     prefix = "fixo"
     counters: dict[str, int] = {}
 
+    # counters come from cached plans or sink read-backs — each format's
+    # pipeline executes once, not once-per-write-plus-once-per-count
     if "obo" in formats:
         stanzas = obo_writer.obo_stanzas(
             t["terms"], t["synonyms"], t["xrefs"], t["relations"],
             t["parents"], t["alts"], prefix=prefix,
-        )
+        ).persist()
         obo_writer.write_obo_document(
             stanzas, f"{args.out}/obo", prefix, "1"
         )
         counters["obo_stanzas"] = stanzas.count()
+        stanzas.unpersist()
     if "skos" in formats:
-        triples = rdf_writers.skos_triples(
-            t["terms"], t["synonyms"], t["parents"], prefix
+        rdf_writers.write_skos(
+            t["terms"], t["synonyms"], t["parents"], prefix,
+            f"{args.out}/skos",
         )
-        triples.write.mode("overwrite").text(f"{args.out}/skos")
-        counters["skos_triples"] = triples.count()
+        # one N-Triples line per triple → the sink IS the counter
+        counters["skos_triples"] = spark.read.text(
+            f"{args.out}/skos"
+        ).count()
     if "obograph" in formats:
-        recs = rdf_writers.obograph_records(
-            t["terms"], t["parents"], t["relations"], prefix
+        rdf_writers.write_obograph_jsonl(
+            t["terms"], t["parents"], t["relations"], prefix,
+            f"{args.out}/obograph",
         )
-        recs.write.mode("overwrite").partitionBy("record_type").text(
+        counters["obograph_records"] = spark.read.text(
             f"{args.out}/obograph"
-        )
-        counters["obograph_records"] = recs.count()
+        ).count()
     if "ofn" in formats:
+        ax = ofn_writer.ofn_axioms(
+            t["terms"], t["synonyms"], t["xrefs"], t["relations"],
+            t["parents"], t["alts"], prefix,
+        ).persist()
+        counters["ofn_axioms"] = ax.count()
         ofn_writer.write_ofn(
             t["terms"], t["synonyms"], t["xrefs"], t["relations"],
             t["parents"], t["alts"], prefix, f"{args.out}/ofn",
-            version="1",
+            version="1", axioms=ax,
         )
-        counters["ofn_axioms"] = ofn_writer.ofn_axioms(
-            t["terms"], t["synonyms"], t["xrefs"], t["relations"],
-            t["parents"], t["alts"], prefix,
-        ).count()
+        ax.unpersist()
     if "obonet" in formats:
         nodes = obonet_export.obonet_nodes(
             t["terms"], t["synonyms"], t["xrefs"], t["relations"],
             t["parents"], prefix,
-        )
+        ).persist()
         nodes.select("node_json").write.mode("overwrite").text(
             f"{args.out}/obonet_nodes"
         )
+        counters["obonet_nodes"] = nodes.count()
+        nodes.unpersist()
         links = obonet_export.obonet_links(
             t["relations"], t["parents"], prefix
-        )
+        ).persist()
         links.write.mode("overwrite").parquet(f"{args.out}/obonet_links")
-        counters["obonet_nodes"] = nodes.count()
         counters["obonet_links"] = links.count()
+        links.unpersist()
 
     print(json.dumps({"job": "export", "counters": counters}))
     spark.stop()

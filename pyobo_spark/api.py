@@ -34,7 +34,7 @@ def catalog_from_parquet(spark, root: str) -> "OntologyCatalog":
     for name in ("terms", "synonyms", "xrefs", "relations", "parents",
                  "alts", "properties", "object_properties", "typedefs",
                  "replaced_by", "considers", "intersections", "subsets",
-                 "metadata"):
+                 "disjoints", "metadata"):
         path = os.path.join(root, f"{name}.parquet")
         if os.path.exists(path):
             tables[name] = spark.read.parquet(path)
@@ -65,6 +65,7 @@ class OntologyCatalog:
         self.intersections = tables.get("intersections")
         self.object_properties = tables.get("object_properties")
         self.subsets = tables.get("subsets")
+        self.disjoints = tables.get("disjoints")
         self.metadata = tables.get("metadata")
         self._spark = self.terms.sparkSession
         self._grounders: dict[tuple[tuple[str, ...], bool], object] = {}
@@ -109,7 +110,7 @@ class OntologyCatalog:
     def get_id_definition_mapping(self, prefix: str) -> dict[str, str]:
         """api/names.py get_id_definition_mapping."""
         df = exports.definitions(
-            self.terms.where(F.col("prefix") == prefix)
+            self.terms.where(F.col("prefix") == prefix.lower())
         )
         return {r["identifier"]: r["definition"] for r in df.collect()}
 
@@ -147,7 +148,9 @@ class OntologyCatalog:
 
     def get_synonyms(self, prefix: str, identifier: str) -> list[str]:
         """api/names.py get_synonyms — one term's sorted synonyms."""
-        return self.get_id_synonyms_mapping(prefix).get(identifier, [])
+        return self.get_id_synonyms_mapping(prefix.lower()).get(
+            identifier, []
+        )
 
     def _empty(self, ddl: str) -> DataFrame:
         return self._spark.createDataFrame([], ddl)
@@ -187,14 +190,19 @@ class OntologyCatalog:
         """api/metadata.py:24-34 — the ontology's data-version header,
         run through the reference's cleanup_version rule pipeline
         (utils/misc.py:78-118) with date fallback."""
-        from .normalize.version import prioritize_version
-
         if self.metadata is None:
             return None
         rows = self.metadata.where(F.col("prefix") == prefix).collect()
         if not rows:
             return None
-        r = rows[0]
+        return self._clean_version_row(prefix, rows[0])
+
+    @staticmethod
+    def _clean_version_row(prefix: str, r) -> str | None:
+        """prioritize_version over an already-collected metadata row —
+        shared by get_version/get_metadata so neither re-collects."""
+        from .normalize.version import prioritize_version
+
         date = r["date"] if "date" in r.__fields__ else None
         if isinstance(date, str):
             try:
@@ -214,7 +222,7 @@ class OntologyCatalog:
             return None
         r = rows[0]
         return {"prefix": r["prefix"],
-                "version": self.get_version(prefix),
+                "version": self._clean_version_row(prefix, r),
                 "date": r["date"]}
 
     # ---- obsolete-upgrade (replaced_by / consider; struct.py:1189-1236
@@ -272,7 +280,7 @@ class OntologyCatalog:
     def get_alts_to_id(self, prefix: str) -> dict[str, str]:
         """api/alts.py:52-63 — alt id → primary id."""
         rows = (
-            self.alts.where(F.col("prefix") == prefix)
+            self.alts.where(F.col("prefix") == prefix.lower())
             .select("alt_id", "identifier").collect()
         )
         return {r["alt_id"]: r["identifier"] for r in rows}
@@ -375,8 +383,9 @@ class OntologyCatalog:
 
     def get_species(self, prefix: str, identifier: str) -> str | None:
         """api/species.py:50-66 — single-term taxonomy lookup."""
-        return self.get_id_species_mapping(prefix).get(
-            self.get_primary_identifier(prefix, identifier)
+        p = prefix.lower()
+        return self.get_id_species_mapping(p).get(
+            self.get_primary_identifier(p, identifier)
         )
 
     def get_relation(
@@ -387,15 +396,17 @@ class OntologyCatalog:
         target_prefix: str,
     ) -> str | None:
         """api/relations.py get_relation — single relation target."""
-        return self.get_relation_mapping(prefix, relation, target_prefix).get(
-            identifier
-        )
+        return self.get_relation_mapping(
+            prefix.lower(), relation, target_prefix
+        ).get(identifier)
 
     def get_xref(
         self, prefix: str, identifier: str, xref_prefix: str
     ) -> str | None:
         """api/xrefs.py:40-57 — single xref target."""
-        return self.get_filtered_xrefs(prefix, xref_prefix).get(identifier)
+        return self.get_filtered_xrefs(prefix.lower(), xref_prefix).get(
+            identifier
+        )
 
     def get_xrefs(self, prefix: str, identifier: str) -> list[str]:
         """api/xrefs.py get_xrefs — one term's xref target CURIEs."""
@@ -473,7 +484,7 @@ class OntologyCatalog:
     ) -> str | None:
         """api/properties.py:157-176 — single property value via the
         filtered-properties mapping."""
-        return self.get_filtered_properties_mapping(prefix, prop).get(
+        return self.get_filtered_properties_mapping(prefix.lower(), prop).get(
             identifier
         )
 

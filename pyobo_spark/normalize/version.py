@@ -42,8 +42,10 @@ def get_version_pins() -> dict[str, str]:
         return {}
     if not isinstance(pins, dict):
         return {}
+    # fold keys to lowercase: the lookup prefix is always the stored
+    # (lowercase) form, but users naturally pin by preferred casing
     return {
-        p: v
+        p.lower(): v
         for p, v in pins.items()
         if isinstance(p, str) and isinstance(v, str)
     }
@@ -148,8 +150,8 @@ def prioritize_version(
     yield None. Mirrors ``_prioritize_version`` (utils/misc.py:158-215).
     """
     pins = get_version_pins()
-    if prefix in pins:
-        return pins[prefix]
+    if prefix.lower() in pins:
+        return pins[prefix.lower()]
     if prefix in _STATIC_BY_PREFIX:
         return _STATIC_BY_PREFIX[prefix]
     if injected_version:

@@ -274,10 +274,14 @@ def write_ofn(
     version: str | None = None,
     typedefs: DataFrame | None = None,
     disjoints: DataFrame | None = None,
+    axioms: DataFrame | None = None,
 ) -> None:
     """Distributed OFN document: header rows ∪ axiom rows, globally
-    ordered (header → axioms by (term, family) → footer), write.text."""
-    ax = ofn_axioms(
+    ordered (header → axioms by (term, family) → footer), write.text.
+
+    ``axioms``: pass a prebuilt (possibly cached) ofn_axioms result to
+    avoid recomputing the plan when the caller also counts it."""
+    ax = axioms if axioms is not None else ofn_axioms(
         terms, synonyms, xrefs, relations, parents, alts, prefix,
         typedefs=typedefs, disjoints=disjoints,
     )

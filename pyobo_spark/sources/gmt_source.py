@@ -20,10 +20,18 @@ def read_gmt(spark: SparkSession, path: str) -> DataFrame:
     trimmed, duplicate genes deduped)."""
     lines = spark.read.text(path).where(F.trim("value") != "")
     parts = F.transform(F.split("value", "\t"), lambda p: F.trim(p))
+    # try_element_at: ANSI mode is on by default in Spark 4 — a
+    # malformed name-only line must yield a null info, not fail the job.
+    # Empty gene tokens from trailing/double tabs are filtered like the
+    # reference's line.strip() pre-split.
     return lines.select(
-        F.element_at(parts, 1).alias("name"),
-        F.element_at(parts, 2).alias("info"),
-        F.array_distinct(F.slice(parts, 3, 1_000_000)).alias("genes"),
+        F.try_element_at(parts, F.lit(1)).alias("name"),
+        F.try_element_at(parts, F.lit(2)).alias("info"),
+        F.array_distinct(
+            F.filter(
+                F.slice(parts, 3, 1_000_000), lambda g: g != ""
+            )
+        ).alias("genes"),
     )
 
 
@@ -35,13 +43,13 @@ def read_wikipathways_gmt(spark: SparkSession, path: str) -> DataFrame:
     base = read_gmt(spark, path)
     meta = F.split("name", "%")
     return base.select(
-        F.element_at(meta, 3).alias("identifier"),
-        F.element_at(
-            F.split(F.element_at(meta, 2), "_"), 2
+        F.try_element_at(meta, F.lit(3)).alias("identifier"),
+        F.try_element_at(
+            F.split(F.try_element_at(meta, F.lit(2)), "_"), F.lit(2)
         ).alias("version"),
         F.lit("").alias("revision"),
-        F.element_at(meta, 1).alias("info"),
-        F.element_at(meta, 4).alias("species"),
+        F.try_element_at(meta, F.lit(1)).alias("info"),
+        F.try_element_at(meta, F.lit(4)).alias("species"),
         "genes",
     )
 

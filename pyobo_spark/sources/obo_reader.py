@@ -151,6 +151,7 @@ def parse_obo_text(text: str) -> ParsedOntology:
     po = ParsedOntology()
     stanza_type: str | None = None  # None = header
     cur: dict = {}
+    _deferred_header: list[tuple[str, str]] = []
 
     def flush():
         nonlocal cur
@@ -265,47 +266,12 @@ def parse_obo_text(text: str) -> ParsedOntology:
                 parts = value.split(None, 2)
                 if len(parts) >= 2:
                     po.idspaces[parts[0]] = parts[1]
-            elif tag == "subsetdef":
-                # `TOKEN "comment"` — bare tokens become the OBO default
-                # reference obo:{prefix}#TOKEN; CURIEs parse; the purl
-                # URI form strips back to the default reference; ids
-                # that can't be a CURIE prefix (e.g. `1:STAR`) are
-                # dropped like the reference's blocked normalization
-                # (test_reader_ontology.py test_7_*)
-                m = re.match(r'^(\S+)\s+"((?:[^"\\]|\\.)*)"', value)
-                if m:
-                    token, comment = m.group(1), m.group(2)
-                    uri_form = f"http://purl.obolibrary.org/obo/{po.prefix}#"
-                    if token.startswith(uri_form):
-                        key = f"obo:{po.prefix}#{token[len(uri_form):]}"
-                    elif ":" in token:
-                        pfx = token.split(":", 1)[0]
-                        key = token if re.match(r"^[A-Za-z_]", pfx) else None
-                    else:
-                        key = f"obo:{po.prefix}#{token}"
-                    if key is not None:
-                        po.subsetdefs[key] = comment
-            elif tag == "synonymtypedef":
-                # `ID "name" [SPECIFICITY]` — invalid specificity tokens
-                # fall back to None (strict=False path of test_8)
-                m = re.match(r'^(\S+)\s+"((?:[^"\\]|\\.)*)"\s*(\S*)', value)
-                if m:
-                    token, name, spec = m.groups()
-                    key = (
-                        token if ":" in token
-                        else f"obo:{po.prefix}#{token}"
-                    )
-                    spec_norm = spec.upper() if spec else ""
-                    po.synonym_typedefs.append(
-                        {
-                            "curie": key,
-                            "name": name,
-                            "specificity": spec_norm
-                            if spec_norm in ("EXACT", "BROAD", "NARROW",
-                                             "RELATED")
-                            else None,
-                        }
-                    )
+            elif tag in ("subsetdef", "synonymtypedef"):
+                # DEFERRED: real headers (GO, ChEBI) place `ontology:`
+                # AFTER the subsetdef/synonymtypedef block, so po.prefix
+                # may not be known yet — stash the raw line and process
+                # once the whole header is read (r03 review)
+                _deferred_header.append((tag, value))
             elif tag == "remark":
                 po.remarks.append(value)
             continue
@@ -491,12 +457,14 @@ def parse_obo_text(text: str) -> ParsedOntology:
             )
         elif tag == "disjoint_from" and "id" in cur:
             # term.disjoint_from list (reader test_17; DisjointClasses
-            # in the OFN export)
+            # in the OFN export); bare targets scope to the stanza's
+            # prefix like is_a/replaced_by/consider
             prefix, local = _split_curie(cur["id"])
             tp_, ti = _split_curie(value)
             po.disjoints.append(
                 {"prefix": prefix.lower(), "identifier": local,
-                 "target_prefix": tp_.lower(), "target_id": ti}
+                 "target_prefix": (tp_ or prefix).lower(),
+                 "target_id": ti}
             )
         elif tag == "created_by" and "id" in cur:
             prefix, local = _split_curie(cur["id"])
@@ -563,6 +531,48 @@ def parse_obo_text(text: str) -> ParsedOntology:
                     }
                 )
     flush()
+
+    # deferred header vocab lines — processed now that po.prefix is
+    # final regardless of where `ontology:` appeared in the header
+    for tag, value in _deferred_header:
+        if tag == "subsetdef":
+            # `TOKEN "comment"` — bare tokens become the OBO default
+            # reference obo:{prefix}#TOKEN; CURIEs parse; the purl URI
+            # form strips back to the default reference; ids that can't
+            # be a CURIE prefix (e.g. `1:STAR`) are dropped like the
+            # reference's blocked normalization (test_reader_ontology.py
+            # test_7_*)
+            m = re.match(r'^(\S+)\s+"((?:[^"\\]|\\.)*)"', value)
+            if m:
+                token, comment = m.group(1), m.group(2)
+                uri_form = f"http://purl.obolibrary.org/obo/{po.prefix}#"
+                if token.startswith(uri_form):
+                    key = f"obo:{po.prefix}#{token[len(uri_form):]}"
+                elif ":" in token:
+                    pfx = token.split(":", 1)[0]
+                    key = token if re.match(r"^[A-Za-z_]", pfx) else None
+                else:
+                    key = f"obo:{po.prefix}#{token}"
+                if key is not None:
+                    po.subsetdefs[key] = comment
+        elif tag == "synonymtypedef":
+            # `ID "name" [SPECIFICITY]` — invalid specificity tokens
+            # fall back to None (strict=False path of test_8)
+            m = re.match(r'^(\S+)\s+"((?:[^"\\]|\\.)*)"\s*(\S*)', value)
+            if m:
+                token, name, spec = m.groups()
+                key = token if ":" in token else f"obo:{po.prefix}#{token}"
+                spec_norm = spec.upper() if spec else ""
+                po.synonym_typedefs.append(
+                    {
+                        "curie": key,
+                        "name": name,
+                        "specificity": spec_norm
+                        if spec_norm in ("EXACT", "BROAD", "NARROW",
+                                         "RELATED")
+                        else None,
+                    }
+                )
 
     # treat-xrefs-as-* macros (reader.py:621-724, MacroConfig +
     # _handle_xref): upgrade xrefs whose target prefix is listed. The

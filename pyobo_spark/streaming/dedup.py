@@ -71,8 +71,6 @@ def stream_exact_dedup_catchup(
     horizon, exact forever-dedup; costs one anti-join per batch against
     the sink, which Iceberg/parquet serve with hash-partition pruning
     at scale)."""
-    import os
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
         batch = (
             batch_df.withColumn("text_hash", F.md5("text"))
@@ -86,10 +84,14 @@ def stream_exact_dedup_catchup(
             .where(F.col("rn") == 1)
             .drop("rn")
         )
-        if os.path.isdir(output_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(output_dir)
-        ):
+        # probe the sink through Spark itself — os.path only works for
+        # driver-local paths; HDFS/S3/Iceberg sinks must use the same
+        # reader that will serve the anti-join (r03 review)
+        try:
             seen = spark.read.parquet(output_dir).select("text_hash")
+        except Exception:  # noqa: BLE001 — sink not created yet
+            seen = None
+        if seen is not None:
             batch = batch.join(seen, on="text_hash", how="left_anti")
         batch.write.mode("append").parquet(output_dir)
 
