@@ -58,6 +58,7 @@ def obo_stanzas(
     intersections: DataFrame | None = None,
     replaced_by: DataFrame | None = None,
     considers: DataFrame | None = None,
+    disjoints: DataFrame | None = None,
 ) -> DataFrame:
     """Render [Term] stanzas for one ontology prefix.
 
@@ -210,6 +211,18 @@ def obo_stanzas(
                             F.lit(" "),
                         )
                     ),
+                    _pc(F.col("target_prefix")), F.lit(":"),
+                    F.col("target_id"),
+                ),
+            )
+        )
+    if disjoints is not None:
+        lines = lines.unionByName(
+            tagged(
+                disjoints.where(F.col("prefix") == prefix),
+                7.8,
+                F.concat(
+                    F.lit("disjoint_from: "),
                     _pc(F.col("target_prefix")), F.lit(":"),
                     F.col("target_id"),
                 ),

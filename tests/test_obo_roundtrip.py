@@ -276,3 +276,27 @@ def test_empty_ontology_byte_parity(spark, tables, tmp_path):
     parts = sorted(glob.glob(out + "/part-*"))
     got = "".join(open(p).read() for p in parts)
     assert got == want
+
+
+def test_disjoint_from_roundtrip(spark):
+    """disjoint_from lines survive parse → serialize → parse."""
+    src = (
+        "format-version: 1.4\nontology: tsto\n\n"
+        "[Term]\nid: TSTO:0000001\nname: a\n"
+        "disjoint_from: TSTO:0000002\n\n"
+        "[Term]\nid: TSTO:0000002\nname: b\n"
+    )
+    from pyobo_spark.sources.obo_reader import parse_obo_files
+
+    tables = parse_obo_files(spark, [("tsto", src)])
+    stanzas = obo_writer.obo_stanzas(
+        tables["terms"], tables["synonyms"], tables["xrefs"],
+        tables["relations"], tables["parents"], tables["alts"],
+        prefix="tsto", disjoints=tables["disjoints"],
+    )
+    doc = obo_writer.obo_document(stanzas, "tsto", "1")
+    assert "disjoint_from: tsto:0000002" in doc
+    po = parse_obo_text(doc)
+    assert [(d["identifier"], d["target_id"]) for d in po.disjoints] == [
+        ("0000001", "0000002")
+    ]
