@@ -1837,6 +1837,91 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_obonet_links(spark, sf_dir):
+    """to_obonet link list (struct.py:1550-1561): is_a + relationship
+    edges as CURIE triples (operators/obonet_export.py)."""
+    from .operators import obonet_export
+
+    return obonet_export.obonet_links(
+        tp.relations_raw(spark, sf_dir), tp.parents(spark, sf_dir), "fixp"
+    )
+
+
+SQL_OBONET_LINKS = f"""
+WITH parents AS ({tp.PARENTS_SQL}),
+relations AS ({tp.RELATIONS_RAW_SQL})
+SELECT concat(child_prefix, ':', child) AS source,
+       'is_a' AS key,
+       concat(parent_prefix, ':', parent) AS target
+FROM parents
+UNION ALL
+SELECT concat(prefix, ':', identifier),
+       concat(relation_prefix, ':', relation_id),
+       concat(target_prefix, ':', target_id)
+FROM relations
+"""
+
+
+def q_skos_triples(spark, sf_dir):
+    """SKOS N-Triples serialization lines as DATA — the distributed
+    write_skos sink's row set is deterministic string algebra, so the
+    oracle rebuilds every line (operators/rdf_writers.py)."""
+    from .operators import rdf_writers
+
+    return rdf_writers.skos_triples(
+        tp.terms(spark, sf_dir),
+        tp.synonyms(spark, sf_dir),
+        tp.parents(spark, sf_dir),
+        "fixp",
+    )
+
+
+SQL_SKOS_TRIPLES = f"""
+WITH terms AS ({tp.TERMS_SQL}),
+synonyms AS ({tp.SYNONYMS_SQL}),
+parents AS ({tp.PARENTS_SQL}),
+iri AS (
+  SELECT *, concat('http://purl.obolibrary.org/obo/fixp_', identifier)
+    AS term_iri
+  FROM terms
+),
+esc AS (
+  SELECT *, replace(replace(replace(replace(coalesce(name, ''), '\\\\', '\\\\\\\\'),
+         '"', '\\\\"'), chr(10), '\\\\n'), chr(9), '\\\\t') AS name_esc,
+         replace(replace(replace(replace(coalesce(definition, ''), '\\\\', '\\\\\\\\'),
+         '"', '\\\\"'), chr(10), '\\\\n'), chr(9), '\\\\t') AS def_esc
+  FROM iri
+)
+SELECT '<http://purl.obolibrary.org/obo/fixp.ttl> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2004/02/skos/core#ConceptScheme> .' AS value
+UNION ALL
+SELECT concat('<', term_iri, '> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2004/02/skos/core#Concept> .') FROM esc
+UNION ALL
+SELECT concat('<', term_iri, '> <http://www.w3.org/2004/02/skos/core#inScheme> <http://purl.obolibrary.org/obo/fixp.ttl> .') FROM esc
+UNION ALL
+SELECT concat('<', term_iri, '> <http://www.w3.org/2004/02/skos/core#prefLabel> "', name_esc, '" .') FROM esc WHERE name IS NOT NULL
+UNION ALL
+SELECT concat('<', term_iri, '> <http://www.w3.org/2004/02/skos/core#definition> "', def_esc, '" .') FROM esc WHERE definition IS NOT NULL
+UNION ALL
+SELECT concat('<http://purl.obolibrary.org/obo/fixp_', s.identifier,
+              '> <http://www.w3.org/2004/02/skos/core#altLabel> "',
+              replace(replace(replace(replace(s.text, '\\\\', '\\\\\\\\'), '"', '\\\\"'),
+                      chr(10), '\\\\n'), chr(9), '\\\\t'), '" .')
+FROM synonyms s
+UNION ALL
+SELECT concat('<http://purl.obolibrary.org/obo/fixp_', child,
+              '> <http://www.w3.org/2004/02/skos/core#broadMatch> <http://purl.obolibrary.org/obo/fixp_', parent, '> .')
+FROM parents
+UNION ALL
+SELECT concat('<http://purl.obolibrary.org/obo/fixp_', parent,
+              '> <http://www.w3.org/2004/02/skos/core#narrowMatch> <http://purl.obolibrary.org/obo/fixp_', child, '> .')
+FROM parents
+UNION ALL
+SELECT concat('<http://purl.obolibrary.org/obo/fixp_', parent,
+              '> <http://www.w3.org/2004/02/skos/core#inScheme> <http://purl.obolibrary.org/obo/fixp.ttl> .')
+FROM parents
+"""
+
+
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1924,6 +2009,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "mention_canonicalized": q_mention_canonicalized,
     "token_counts_regex": q_token_counts_regex,
+    "obonet_links": q_obonet_links,
+    "skos_triples": q_skos_triples,
 }
 
 ORACLES: dict[str, str] = {
@@ -1993,4 +2080,6 @@ ORACLES: dict[str, str] = {
     "simhash_planted": SQL_SIMHASH_PLANTED,
     "term_embeddings": SQL_TERM_EMBEDDINGS,
     "embedding_nearest_terms": SQL_EMBEDDING_NEAREST_TERMS,
+    "obonet_links": SQL_OBONET_LINKS,
+    "skos_triples": SQL_SKOS_TRIPLES,
 }
