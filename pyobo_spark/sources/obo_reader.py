@@ -38,6 +38,11 @@ _SYN_RE = re.compile(
     r"(?:\s+\[(?P<prov>[^\]]*)\])?"
 )
 _DEF_RE = re.compile(r'^"(?P<text>(?:[^"\\]|\\.)*)"(?:\s+\[(?P<prov>[^\]]*)\])?')
+# trailing `{qualifier="..."}` axiom block (OBO 1.4 trailing qualifiers) —
+# stripped from every tag value: reference-valued tags (is_a, consider,
+# relationship...) must not carry it into identifiers, and the quoted-
+# value parsers never consume it anyway
+_TRAILING_AXIOMS = re.compile(r"\s*\{[^{}]*\}\s*$")
 _UNESCAPE = re.compile(r"\\(.)")
 
 # unquoted property_value object: CURIE whose prefix starts with a letter
@@ -240,6 +245,7 @@ def parse_obo_text(text: str) -> ParsedOntology:
             continue
         tag, _, value = line.partition(":")
         tag, value = tag.strip(), value.strip()
+        value = _TRAILING_AXIOMS.sub("", value).strip()
 
         if stanza_type is None:  # header
             if tag == "ontology":

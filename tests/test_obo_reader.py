@@ -558,3 +558,21 @@ def test_golden_term_flag_and_provenance_tags():
     assert not [
         p for p in po.properties if p["source_curie"] == "chebi:4"
     ]
+
+
+def test_trailing_qualifier_blocks_stripped():
+    """OBO 1.4 trailing `{qualifier="..."}` blocks must not leak into
+    reference-valued targets (r03 review probe)."""
+    po = parse_obo_text(
+        "ontology: chebi\n\n[Term]\nid: CHEBI:1\n"
+        'is_a: CHEBI:2 {is_inferred="true"}\n'
+        'relationship: BFO:0000050 CHEBI:3 {source="x"}\n'
+        'replaced_by: CHEBI:4 {a="b"}\n'
+        'consider: CHEBI:5 {c="d"}\n'
+        'disjoint_from: CHEBI:6 {e="f"}\n'
+    )
+    assert po.parents[0]["parent"] == "2"
+    assert po.relations[0]["target_id"] == "3"
+    assert po.replaced_by[0]["replacement_id"] == "4"
+    assert po.considers[0]["consider_id"] == "5"
+    assert po.disjoints[0]["target_id"] == "6"
