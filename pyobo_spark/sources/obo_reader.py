@@ -318,7 +318,11 @@ def parse_obo_text(text: str) -> ParsedOntology:
         elif tag == "def":
             m = _DEF_RE.match(value)
             if m:
-                cur["def"] = _clean_def(m.group("text"))
+                # empty quoted definition means NO definition (reference
+                # test_6_provenance_no_definition: def "" [..] → None)
+                cleaned = _clean_def(m.group("text"))
+                if cleaned:
+                    cur["def"] = cleaned
         elif tag == "synonym" and "id" in cur:
             m = _SYN_RE.match(value)
             if m:
@@ -344,12 +348,20 @@ def parse_obo_text(text: str) -> ParsedOntology:
         elif tag == "xref" and "id" in cur:
             prefix, local = _split_curie(cur["id"])
             xp, xi = _split_curie(value.split(" ", 1)[0])
+            # trailing `[prov, ...]` provenance list (test_10_xrefs_with_
+            # provenance_*): captured like synonym provenance
+            pm = re.search(r"\[([^\]]*)\]\s*$", value)
+            prov = (
+                [p.strip() for p in pm.group(1).split(",") if p.strip()]
+                if pm
+                else None
+            )
             po.xrefs.append(
                 {
                     "prefix": prefix.lower(), "identifier": local,
                     "predicate": "oboInOwl:hasDbXref",
                     "target_prefix": xp.lower(), "target_id": xi,
-                    "provenance": None,
+                    "provenance": prov,
                 }
             )
         elif tag == "is_a" and "id" in cur:

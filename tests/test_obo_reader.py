@@ -576,3 +576,18 @@ def test_trailing_qualifier_blocks_stripped():
     assert po.replaced_by[0]["replacement_id"] == "4"
     assert po.considers[0]["consider_id"] == "5"
     assert po.disjoints[0]["target_id"] == "6"
+
+
+def test_empty_definition_and_xref_provenance():
+    """def "" [..] means no definition (test_6_provenance_no_definition);
+    xref trailing [prov,...] lists are captured (test_10_xrefs_with_*)."""
+    po = parse_obo_text(
+        "ontology: chebi\n\n[Term]\nid: CHEBI:1\n"
+        'def: "" [orcid:0]\n'
+        "xref: cas:389-08-2 [pubmed:99, pubmed:100]\n"
+        "xref: mesh:D1\n"
+    )
+    assert po.terms[0]["definition"] is None
+    by_target = {x["target_id"]: x["provenance"] for x in po.xrefs}
+    assert by_target["389-08-2"] == ["pubmed:99", "pubmed:100"]
+    assert by_target["D1"] is None
