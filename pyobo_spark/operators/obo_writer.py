@@ -397,6 +397,8 @@ def obo_typedef_stanzas(typedefs: DataFrame, prefix: str) -> DataFrame:
         opt_line("domain", "domain"),
         opt_line("range", "range"),
         list_lines("is_a", "parents"),
+        list_lines("equivalent_to", "equivalent_to"),
+        list_lines("disjoint_from", "disjoint_from"),
         chain_lines,
         bool_line("is_anti_symmetric", "is_anti_symmetric"),
         bool_line("is_cyclic", "is_cyclic"),
@@ -410,6 +412,8 @@ def obo_typedef_stanzas(typedefs: DataFrame, prefix: str) -> DataFrame:
         bool_line("is_metadata_tag", "is_metadata_tag"),
         bool_line("is_class_level", "is_class_level"),
         bool_line("is_obsolete", "is_obsolete"),
+        list_lines("replaced_by", "replaced_by"),
+        list_lines("consider", "consider"),
     )
     return t.select(
         F.col("identifier"),

@@ -217,6 +217,16 @@ def parse_obo_text(text: str) -> ParsedOntology:
                     # into parents
                     "parents": [_ref(v) for v in td.get("_is_a", [])],
                     "xrefs": [_ref(v) for v in td.get("_xref", [])],
+                    "equivalent_to": [
+                        _ref(v) for v in td.get("_equivalent_to", [])
+                    ],
+                    "disjoint_from": [
+                        _ref(v) for v in td.get("_disjoint_from", [])
+                    ],
+                    "replaced_by": [
+                        _ref(v) for v in td.get("_replaced_by", [])
+                    ],
+                    "consider": [_ref(v) for v in td.get("_consider", [])],
                 }
             )
         elif stanza_type == "Term":
@@ -291,13 +301,15 @@ def parse_obo_text(text: str) -> ParsedOntology:
                 else:
                     td[tag] = value
                 continue
-            if tag in ("xref", "is_a"):
-                # typedef-level xrefs/parents live on the TypeDef record
-                # (struct.py:2254-2318 parents/xrefs fields) — the
-                # reference routes typedef xrefs through the same macro
-                # config as terms (test_reader_ontology.py
-                # test_15_xref_is_a_for_typedef); see the macro block at
-                # the end of parse
+            if tag in ("xref", "is_a", "equivalent_to", "disjoint_from",
+                       "replaced_by", "consider"):
+                # typedef-level reference lists live on the TypeDef
+                # record (struct.py:2254-2318 parents/xrefs/equivalent/
+                # disjoint fields; test_reader_typedef.py tests 10, 23,
+                # 26, 27, 36, 37) — the reference routes typedef xrefs
+                # through the same macro config as terms
+                # (test_15_xref_is_a_for_typedef); see the macro block
+                # at the end of parse
                 td = cur.setdefault("_td", {})
                 td.setdefault("_" + tag, []).append(value.split(" ")[0])
                 continue
@@ -825,6 +837,10 @@ def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
             T.StructField("is_obsolete", T.BooleanType()),
             T.StructField("parents", T.ArrayType(T.StringType())),
             T.StructField("xrefs", T.ArrayType(T.StringType())),
+            T.StructField("equivalent_to", T.ArrayType(T.StringType())),
+            T.StructField("disjoint_from", T.ArrayType(T.StringType())),
+            T.StructField("replaced_by", T.ArrayType(T.StringType())),
+            T.StructField("consider", T.ArrayType(T.StringType())),
         ]
     )
     table_schemas = {

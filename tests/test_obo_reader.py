@@ -591,3 +591,32 @@ def test_empty_definition_and_xref_provenance():
     by_target = {x["target_id"]: x["provenance"] for x in po.xrefs}
     assert by_target["389-08-2"] == ["pubmed:99", "pubmed:100"]
     assert by_target["D1"] is None
+
+
+def test_typedef_reference_lists_roundtrip(spark):
+    """Typedef equivalent_to / disjoint_from / replaced_by / consider
+    (test_reader_typedef.py tests 26, 27, 36, 37) parse and serialize."""
+    from pyobo_spark.operators import obo_writer
+    from pyobo_spark.sources.obo_reader import parse_obo_files
+
+    src = (
+        "format-version: 1.4\nontology: tsto\n\n"
+        "[Typedef]\nid: TSTO:9000001\nname: rel\n"
+        "equivalent_to: RO:0002211\ndisjoint_from: RO:0002212\n"
+        "is_obsolete: true\nreplaced_by: RO:0002213\nconsider: RO:0002214\n"
+    )
+    tables = parse_obo_files(spark, [("tsto", src)])
+    td = tables["typedefs"].collect()[0]
+    assert td["equivalent_to"] == ["RO:0002211"]
+    assert td["disjoint_from"] == ["RO:0002212"]
+    assert td["replaced_by"] == ["RO:0002213"]
+    assert td["consider"] == ["RO:0002214"]
+    text = obo_writer.obo_typedef_stanzas(
+        tables["typedefs"], "tsto"
+    ).collect()[0]["stanza_text"]
+    for line in ("equivalent_to: RO:0002211", "disjoint_from: RO:0002212",
+                 "replaced_by: RO:0002213", "consider: RO:0002214"):
+        assert f"\n{line}" in text
+    po2 = parse_obo_text("format-version: 1.4\nontology: tsto\n\n" + text)
+    assert po2.typedefs[0]["equivalent_to"] == ["RO:0002211"]
+    assert po2.typedefs[0]["consider"] == ["RO:0002214"]
