@@ -101,6 +101,10 @@ class ParsedOntology:
     subsetdefs: dict[str, str] = field(default_factory=dict)
     synonym_typedefs: list[dict] = field(default_factory=list)
     remarks: list[str] = field(default_factory=list)
+    imports: list[str] = field(default_factory=list)
+    # header-level property_value lines as raw (predicate, value) pairs
+    # (test_18_properties)
+    header_properties: list[tuple[str, str]] = field(default_factory=list)
 
 
 _ESCAPES = {"n": "\n", "t": "\t", "W": " ", ":": ":", ",": ",", '"': '"',
@@ -290,6 +294,14 @@ def parse_obo_text(text: str) -> ParsedOntology:
                 _deferred_header.append((tag, value))
             elif tag == "remark":
                 po.remarks.append(value)
+            elif tag == "import":
+                po.imports.append(value)
+            elif tag == "property_value":
+                parts = value.split(" ", 1)
+                if len(parts) == 2:
+                    po.header_properties.append(
+                        (parts[0], parts[1].strip().strip('"'))
+                    )
             continue
 
         if stanza_type == "Typedef":

@@ -620,3 +620,17 @@ def test_typedef_reference_lists_roundtrip(spark):
     po2 = parse_obo_text("format-version: 1.4\nontology: tsto\n\n" + text)
     assert po2.typedefs[0]["equivalent_to"] == ["RO:0002211"]
     assert po2.typedefs[0]["consider"] == ["RO:0002214"]
+
+
+def test_header_import_and_property_value():
+    """import list (test_6_import) and header property_value lines
+    (test_18_properties) are captured."""
+    po = parse_obo_text(
+        "ontology: go\nimport: chebi\n"
+        "import: http://purl.obolibrary.org/obo/envo.owl\n"
+        "property_value: heyo also_heyo\n"
+    )
+    assert po.imports == [
+        "chebi", "http://purl.obolibrary.org/obo/envo.owl"
+    ]
+    assert po.header_properties == [("heyo", "also_heyo")]
