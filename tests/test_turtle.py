@@ -58,3 +58,40 @@ def test_read_turtle_into_skos_tables(spark):
     assert ("assessment", "Assessment") in names
     syn = {(r["identifier"], r["text"]) for r in tables["synonyms"].collect()}
     assert ("assessment", "Assessment") in syn
+
+
+def test_turtle_literal_escapes_property():
+    """Hypothesis: any printable label survives TTL literal escaping →
+    parse (the writer-side escape is the N-Triples one, shared)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters="\r"
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def roundtrip(label):
+        esc = (
+            label.replace("\\", "\\\\")
+            .replace('"', '\\"')
+            .replace("\n", "\\n")
+            .replace("\t", "\\t")
+        )
+        ttl = (
+            "@prefix skos: <http://www.w3.org/2004/02/skos/core#>.\n"
+            f'<http://x.org/a> skos:prefLabel "{esc}"@en .\n'
+        )
+        ts = parse_turtle(ttl)
+        assert len(ts) == 1
+        # the parser keeps the raw escape sequences for \n/\t (its
+        # _unescape decodes them), so compare decoded forms
+        assert ts[0]["object"] == label
+        assert ts[0]["language"] == "en"
+
+    roundtrip()
