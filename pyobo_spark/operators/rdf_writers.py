@@ -151,6 +151,89 @@ def write_skos(
 # --------------------------------------------------------------- obograph --
 
 
+def obograph_axiom_records(
+    xrefs: DataFrame | None,
+    typedefs: DataFrame | None,
+    prefix: str,
+) -> DataFrame | None:
+    """The OBO-Graph axiom families beyond nodes/edges
+    (obograph/export.py:83-128): equivalentNodesSets from
+    owl:equivalentClass pairs, domainRangeAxioms and
+    propertyChainAxioms from the typedef dim. Same (record_type, value)
+    JSON-lines shape; None when no source table is supplied."""
+    parts = []
+    if xrefs is not None:
+        eq = xrefs.where(
+            (F.col("prefix") == prefix)
+            & (F.col("predicate") == "owl:equivalentClass")
+        ).select(
+            F.lit("equivalentNodesSet").alias("record_type"),
+            F.to_json(
+                F.struct(
+                    F.array(
+                        _term_iri(F.col("prefix"), F.col("identifier")),
+                        _term_iri(
+                            F.col("target_prefix"), F.col("target_id")
+                        ),
+                    ).alias("nodeIds")
+                )
+            ).alias("value"),
+        )
+        parts.append(eq)
+    if typedefs is not None:
+        td = typedefs
+        if "ontology" in td.columns:
+            td = td.where(F.col("ontology") == prefix)
+        td_iri = _term_iri(F.col("prefix"), F.col("identifier"))
+        dr = td.where(
+            F.col("domain").isNotNull() | F.col("range").isNotNull()
+        ).select(
+            F.lit("domainRangeAxiom").alias("record_type"),
+            F.to_json(
+                F.struct(
+                    td_iri.alias("predicateId"),
+                    F.when(
+                        F.col("domain").isNotNull(),
+                        F.array(F.col("domain")),
+                    ).otherwise(F.array().cast("array<string>")).alias(
+                        "domainClassIds"
+                    ),
+                    F.when(
+                        F.col("range").isNotNull(),
+                        F.array(F.col("range")),
+                    ).otherwise(F.array().cast("array<string>")).alias(
+                        "rangeClassIds"
+                    ),
+                )
+            ).alias("value"),
+        )
+        parts.append(dr)
+        if "holds_over_chain" in td.columns:
+            pc = td.where(
+                F.col("holds_over_chain").isNotNull()
+                & (F.size("holds_over_chain") > 0)
+            ).select(
+                F.lit("propertyChainAxiom").alias("record_type"),
+                F.explode("holds_over_chain").alias("chain"),
+                td_iri.alias("pid"),
+            ).select(
+                "record_type",
+                F.to_json(
+                    F.struct(
+                        F.col("pid").alias("predicateId"),
+                        F.col("chain").alias("chainPredicateIds"),
+                    )
+                ).alias("value"),
+            )
+            parts.append(pc)
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def obograph_records(
     terms: DataFrame,
     parents: DataFrame,
@@ -225,22 +308,33 @@ def obograph_document(
     parents: DataFrame,
     relations: DataFrame,
     prefix: str,
+    xrefs: DataFrame | None = None,
+    typedefs: DataFrame | None = None,
 ) -> str:
     """Standard single-document OBO-Graph JSON for ONE ontology —
     bounded driver assembly (same contract note as
     obo_writer.obo_document): graphs[0] = {id, nodes, edges}. Round-trips
     through sources/obograph.read_obograph."""
     recs = obograph_records(terms, parents, relations, prefix)
+    ax = obograph_axiom_records(xrefs, typedefs, prefix)
+    if ax is not None:
+        recs = recs.unionByName(ax)
     rows = recs.orderBy("record_type", "value").collect()
-    nodes = [json.loads(r["value"]) for r in rows if r["record_type"] == "node"]
-    edges = [json.loads(r["value"]) for r in rows if r["record_type"] == "edge"]
-    doc = {
-        "graphs": [
-            {
-                "id": f"{OBO_PURL}{prefix}.owl",
-                "nodes": nodes,
-                "edges": edges,
-            }
-        ]
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["record_type"], []).append(
+            json.loads(r["value"])
+        )
+    graph: dict = {
+        "id": f"{OBO_PURL}{prefix}.owl",
+        "nodes": by_type.get("node", []),
+        "edges": by_type.get("edge", []),
     }
+    if "equivalentNodesSet" in by_type:
+        graph["equivalentNodesSets"] = by_type["equivalentNodesSet"]
+    if "domainRangeAxiom" in by_type:
+        graph["domainRangeAxioms"] = by_type["domainRangeAxiom"]
+    if "propertyChainAxiom" in by_type:
+        graph["propertyChainAxioms"] = by_type["propertyChainAxiom"]
+    doc = {"graphs": [graph]}
     return json.dumps(doc, indent=1, sort_keys=True)

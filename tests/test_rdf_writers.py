@@ -175,3 +175,34 @@ def test_skos_backslash_n_literal_roundtrip(spark, tmp_path):
     )
     names = {r["identifier"]: r["name"] for r in got["names"].collect()}
     assert names["0000001"] == "foo\\nbar"
+
+
+def test_obograph_axiom_families(spark):
+    """equivalentNodesSets / domainRangeAxioms / propertyChainAxioms
+    (obograph/export.py:83-128)."""
+    from pyobo_spark.sources.obo_reader import parse_obo_files
+
+    src = (
+        "format-version: 1.4\nontology: tsto\n\n"
+        "[Term]\nid: TSTO:0000001\nname: a\nequivalent_to: CHEBI:99\n\n"
+        "[Typedef]\nid: BFO:0000050\nname: part of\n"
+        "domain: BFO:0000004\nrange: BFO:0000004\n"
+        "holds_over_chain: BFO:0000050 BFO:0000050\n"
+    )
+    t = parse_obo_files(spark, [("tsto", src)])
+    doc = rdf_writers.obograph_document(
+        t["terms"], t["parents"], t["relations"], "tsto",
+        xrefs=t["xrefs"], typedefs=t["typedefs"],
+    )
+    g = json.loads(doc)["graphs"][0]
+    assert g["equivalentNodesSets"] == [
+        {"nodeIds": [
+            rdf_writers.OBO_PURL + "tsto_0000001",
+            rdf_writers.OBO_PURL + "CHEBI_99",
+        ]}
+    ]
+    dr = g["domainRangeAxioms"][0]
+    assert dr["predicateId"] == rdf_writers.OBO_PURL + "BFO_0000050"
+    assert dr["domainClassIds"] == ["BFO:0000004"]
+    pc = g["propertyChainAxioms"][0]
+    assert pc["chainPredicateIds"] == ["BFO:0000050", "BFO:0000050"]
