@@ -239,6 +239,7 @@ def obograph_records(
     parents: DataFrame,
     relations: DataFrame,
     prefix: str,
+    typedefs: DataFrame | None = None,
 ) -> DataFrame:
     """(record_type, value) JSON-lines form of the OBO-Graph document:
     one `node` record per term, one `edge` per is_a/relationship row
@@ -286,7 +287,27 @@ def obograph_records(
             )
         ).alias("value"),
     )
-    return nodes.unionByName(isa).unionByName(rel)
+    out = nodes.unionByName(isa).unionByName(rel)
+    if typedefs is not None:
+        # typedef PROPERTY nodes (obograph/export.py node type for
+        # TypeDefs; test_full.py test_typedef_1 expects type=PROPERTY)
+        td = typedefs
+        if "ontology" in td.columns:
+            td = td.where(F.col("ontology") == prefix)
+        td_nodes = td.select(
+            F.lit("node").alias("record_type"),
+            F.to_json(
+                F.struct(
+                    _term_iri(F.col("prefix"), F.col("identifier")).alias(
+                        "id"
+                    ),
+                    F.col("name").alias("lbl"),
+                    F.lit("PROPERTY").alias("type"),
+                )
+            ).alias("value"),
+        )
+        out = out.unionByName(td_nodes)
+    return out
 
 
 def write_obograph_jsonl(

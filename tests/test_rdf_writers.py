@@ -206,3 +206,24 @@ def test_obograph_axiom_families(spark):
     assert dr["domainClassIds"] == ["BFO:0000004"]
     pc = g["propertyChainAxioms"][0]
     assert pc["chainPredicateIds"] == ["BFO:0000050", "BFO:0000050"]
+
+
+def test_obograph_typedef_property_nodes(spark):
+    """Typedefs surface as PROPERTY nodes (test_full.py test_typedef_1)."""
+    from pyobo_spark.sources.obo_reader import parse_obo_files
+
+    src = (
+        "format-version: 1.4\nontology: tsto\n\n"
+        "[Typedef]\nid: BFO:0000050\nname: part of\n"
+    )
+    t = parse_obo_files(spark, [("tsto", src)])
+    recs = rdf_writers.obograph_records(
+        t["terms"], t["parents"], t["relations"], "tsto",
+        typedefs=t["typedefs"],
+    ).collect()
+    props = [
+        json.loads(r["value"]) for r in recs
+        if json.loads(r["value"]).get("type") == "PROPERTY"
+    ]
+    assert props and props[0]["id"] == rdf_writers.OBO_PURL + "BFO_0000050"
+    assert props[0]["lbl"] == "part of"
