@@ -55,6 +55,8 @@ _RECORDS: tuple[PrefixRecord, ...] = (
                  uri_prefixes=("http://www.w3.org/2004/02/skos/core#",)),
     PrefixRecord("owl", "owl", (),
                  uri_prefixes=("http://www.w3.org/2002/07/owl#",)),
+    PrefixRecord("xsd", "xsd", (),
+                 uri_prefixes=("http://www.w3.org/2001/XMLSchema#",)),
     PrefixRecord("oboinowl", "oboInOwl", ("oio",),
                  uri_prefixes=("http://www.geneontology.org/formats/oboInOwl#",)),
     # fixture ontology prefixes

@@ -220,7 +220,9 @@ def obo_stanzas(
         lines = lines.unionByName(
             tagged(
                 disjoints.where(F.col("prefix") == prefix),
-                7.8,
+                # reference tag order: intersection_of(14) <
+                # equivalent_to(16) < disjoint_from(17) < relationship(18)
+                6.8,
                 F.concat(
                     F.lit("disjoint_from: "),
                     _pc(F.col("target_prefix")), F.lit(":"),

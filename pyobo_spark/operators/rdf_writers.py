@@ -50,6 +50,27 @@ def _term_iri(prefix_col, id_col):
     )
 
 
+def _curie_iri(curie_col):
+    """Whole-CURIE → IRI: registered URI prefixes (xsd, skos, rdfs...)
+    expand via the registry's uri_prefixes; everything else takes the
+    OBO PURL convention. All OBO-Graph id fields must be IRIs — raw
+    CURIEs next to IRI-keyed nodes break consumers (r03 review)."""
+    from ..normalize.registry import Registry
+
+    pairs = []
+    for rec in Registry.default().records.values():
+        if rec.uri_prefixes:
+            pairs += [F.lit(rec.prefix), F.lit(rec.uri_prefixes[0])]
+    pfx = F.lower(F.split(curie_col, ":").getItem(0))
+    local = F.substring_index(curie_col, ":", -1)
+    known = F.create_map(*pairs)[pfx] if pairs else F.lit(None)
+    return F.when(
+        known.isNotNull(), F.concat(known, local)
+    ).otherwise(
+        _term_iri(F.split(curie_col, ":").getItem(0), local)
+    )
+
+
 def _uri_triple(s, p, o):
     return F.concat(
         F.lit("<"), s, F.lit("> <"), F.lit(p), F.lit("> <"), o, F.lit("> .")
@@ -194,13 +215,13 @@ def obograph_axiom_records(
                     td_iri.alias("predicateId"),
                     F.when(
                         F.col("domain").isNotNull(),
-                        F.array(F.col("domain")),
+                        F.array(_curie_iri(F.col("domain"))),
                     ).otherwise(F.array().cast("array<string>")).alias(
                         "domainClassIds"
                     ),
                     F.when(
                         F.col("range").isNotNull(),
-                        F.array(F.col("range")),
+                        F.array(_curie_iri(F.col("range"))),
                     ).otherwise(F.array().cast("array<string>")).alias(
                         "rangeClassIds"
                     ),
@@ -221,7 +242,9 @@ def obograph_axiom_records(
                 F.to_json(
                     F.struct(
                         F.col("pid").alias("predicateId"),
-                        F.col("chain").alias("chainPredicateIds"),
+                        F.transform(
+                            "chain", lambda c: _curie_iri(c)
+                        ).alias("chainPredicateIds"),
                     )
                 ).alias("value"),
             )
@@ -336,7 +359,9 @@ def obograph_document(
     bounded driver assembly (same contract note as
     obo_writer.obo_document): graphs[0] = {id, nodes, edges}. Round-trips
     through sources/obograph.read_obograph."""
-    recs = obograph_records(terms, parents, relations, prefix)
+    recs = obograph_records(
+        terms, parents, relations, prefix, typedefs=typedefs
+    )
     ax = obograph_axiom_records(xrefs, typedefs, prefix)
     if ax is not None:
         recs = recs.unionByName(ax)

@@ -1886,10 +1886,10 @@ iri AS (
   FROM terms
 ),
 esc AS (
-  SELECT *, replace(replace(replace(replace(coalesce(name, ''), '\\\\', '\\\\\\\\'),
-         '"', '\\\\"'), chr(10), '\\\\n'), chr(9), '\\\\t') AS name_esc,
-         replace(replace(replace(replace(coalesce(definition, ''), '\\\\', '\\\\\\\\'),
-         '"', '\\\\"'), chr(10), '\\\\n'), chr(9), '\\\\t') AS def_esc
+  SELECT *, replace(replace(replace(replace(coalesce(name, ''), '\\', '\\\\'),
+         '"', '\\"'), chr(10), '\\n'), chr(9), '\\t') AS name_esc,
+         replace(replace(replace(replace(coalesce(definition, ''), '\\', '\\\\'),
+         '"', '\\"'), chr(10), '\\n'), chr(9), '\\t') AS def_esc
   FROM iri
 )
 SELECT '<http://purl.obolibrary.org/obo/fixp.ttl> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <http://www.w3.org/2004/02/skos/core#ConceptScheme> .' AS value
@@ -1904,8 +1904,8 @@ SELECT concat('<', term_iri, '> <http://www.w3.org/2004/02/skos/core#definition>
 UNION ALL
 SELECT concat('<http://purl.obolibrary.org/obo/fixp_', s.identifier,
               '> <http://www.w3.org/2004/02/skos/core#altLabel> "',
-              replace(replace(replace(replace(s.text, '\\\\', '\\\\\\\\'), '"', '\\\\"'),
-                      chr(10), '\\\\n'), chr(9), '\\\\t'), '" .')
+              replace(replace(replace(replace(s.text, '\\', '\\\\'), '"', '\\"'),
+                      chr(10), '\\n'), chr(9), '\\t'), '" .')
 FROM synonyms s
 UNION ALL
 SELECT concat('<http://purl.obolibrary.org/obo/fixp_', child,
@@ -1982,8 +1982,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clean_corpus": q_clean_corpus,
     "pii_scrub": q_pii_scrub,
     "normalize_curies": q_normalize_curies,
-    "events_windowed": q_events_windowed,
-    "events_sliding": q_events_sliding,
+    "obonet_links": q_obonet_links,
+    "skos_triples": q_skos_triples,
     "salted_counts": q_salted_counts,
     # ---- overflow (below the 50-entry driver window; all driver-green
     # in round 2 and still checked by tests/parity.py every session)
@@ -2009,8 +2009,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "mention_canonicalized": q_mention_canonicalized,
     "token_counts_regex": q_token_counts_regex,
-    "obonet_links": q_obonet_links,
-    "skos_triples": q_skos_triples,
+    "events_windowed": q_events_windowed,
+    "events_sliding": q_events_sliding,
 }
 
 ORACLES: dict[str, str] = {

@@ -299,9 +299,12 @@ def parse_obo_text(text: str) -> ParsedOntology:
             elif tag == "property_value":
                 parts = value.split(" ", 1)
                 if len(parts) == 2:
-                    po.header_properties.append(
-                        (parts[0], parts[1].strip().strip('"'))
-                    )
+                    rest = parts[1].strip()
+                    qm = re.match(r'^"((?:[^"\\]|\\.)*)"', rest)
+                    # quoted literal (optionally followed by a datatype)
+                    # parses to its unescaped text; bare tokens pass as-is
+                    val = _unescape(qm.group(1)) if qm else rest
+                    po.header_properties.append((parts[0], val))
             continue
 
         if stanza_type == "Typedef":

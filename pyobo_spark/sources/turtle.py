@@ -113,12 +113,17 @@ def _split_statements(text: str) -> list[str]:
     return stmts
 
 
+_ESCAPE_RE = re.compile(r"\\(.)")
+_ESCAPE_MAP = {"n": "\n", "t": "\t", '"': '"', "\\": "\\"}
+
+
 def _unescape(s: str) -> str:
-    return (
-        s.replace('\\"', '"')
-        .replace("\\n", "\n")
-        .replace("\\t", "\t")
-        .replace("\\\\", "\\")
+    # single-pass decode: sequential replace passes corrupt a literal
+    # backslash before n/t, and sentinel swaps collide with sentinel
+    # bytes in the data (hypothesis found \x00) — a regex scan has
+    # neither problem
+    return _ESCAPE_RE.sub(
+        lambda m: _ESCAPE_MAP.get(m.group(1), m.group(1)), s
     )
 
 
@@ -129,12 +134,28 @@ def parse_turtle(text: str) -> list[dict]:
     base = ""
     triples: list[dict] = []
 
+    # SPARQL-style PREFIX/BASE lines carry no terminating '.', so they
+    # must be consumed line-wise BEFORE the dot-based statement split
+    kept_lines: list[str] = []
+    for line in text.split("\n"):
+        dm = _DIRECTIVE.match(line)
+        if dm and not line.rstrip().endswith("."):
+            if dm.group(2) is not None:
+                prefixes[dm.group(1)] = dm.group(2)
+            else:
+                base = dm.group(3)
+        else:
+            kept_lines.append(line)
+    text = "\n".join(kept_lines)
+
     def resolve(tok: str) -> str | None:
         if tok.startswith("<"):
             iri = tok[1:-1]
-            if "://" not in iri:
-                return base + iri
-            return iri
+            # absolute = has a scheme (mailto:, urn:, http:, ...);
+            # only scheme-less IRIs resolve against @base
+            if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+                return iri
+            return base + iri
         if tok == "a":
             return RDF_TYPE
         if ":" in tok:
@@ -159,6 +180,11 @@ def parse_turtle(text: str) -> list[dict]:
             continue
         subj = resolve(toks[0].group(0))
         if subj is None:
+            triples.append(
+                {"subject": toks[0].group(0), "predicate": None,
+                 "object": None, "is_literal": False, "datatype": None,
+                 "language": None, "parse_status": "unsupported_term"}
+            )
             continue
         pred: str | None = None
         expect_pred = True
@@ -170,6 +196,13 @@ def parse_turtle(text: str) -> list[dict]:
                 continue
             if expect_pred:
                 pred = resolve(m.group(0))
+                if pred is None:
+                    triples.append(
+                        {"subject": subj, "predicate": m.group(0),
+                         "object": None, "is_literal": False,
+                         "datatype": None, "language": None,
+                         "parse_status": "unsupported_term"}
+                    )
                 expect_pred = False
                 continue
             if pred is None:

@@ -203,9 +203,26 @@ def test_obograph_axiom_families(spark):
     ]
     dr = g["domainRangeAxioms"][0]
     assert dr["predicateId"] == rdf_writers.OBO_PURL + "BFO_0000050"
-    assert dr["domainClassIds"] == ["BFO:0000004"]
+    # every id field is an IRI — CURIEs next to IRI-keyed nodes break
+    # standard obograph consumers
+    assert dr["domainClassIds"] == [rdf_writers.OBO_PURL + "BFO_0000004"]
     pc = g["propertyChainAxioms"][0]
-    assert pc["chainPredicateIds"] == ["BFO:0000050", "BFO:0000050"]
+    assert pc["chainPredicateIds"] == [
+        rdf_writers.OBO_PURL + "BFO_0000050",
+        rdf_writers.OBO_PURL + "BFO_0000050",
+    ]
+    # registered URI prefixes (xsd) expand via the registry, not OBO PURL
+    from pyspark.sql import functions as SF
+
+    one = spark.createDataFrame([("xsd:float",)], "c string").select(
+        rdf_writers._curie_iri(SF.col("c")).alias("iri")
+    ).collect()[0]["iri"]
+    assert one == "http://www.w3.org/2001/XMLSchema#float"
+    # document path emits the typedef PROPERTY node alongside its axioms
+    prop_nodes = [n for n in g["nodes"] if n.get("type") == "PROPERTY"]
+    assert prop_nodes and prop_nodes[0]["id"] == (
+        rdf_writers.OBO_PURL + "BFO_0000050"
+    )
 
 
 def test_obograph_typedef_property_nodes(spark):
@@ -227,3 +244,30 @@ def test_obograph_typedef_property_nodes(spark):
     ]
     assert props and props[0]["id"] == rdf_writers.OBO_PURL + "BFO_0000050"
     assert props[0]["lbl"] == "part of"
+
+
+def test_skos_oracle_escape_chain_matches_engine(spark):
+    """The DuckDB oracle's escape chain (queries.SQL_SKOS_TRIPLES) must
+    agree with _esc_lit on hostile characters — TPC-H strings contain
+    none, so parity alone can't catch a divergence (r03 review)."""
+    import duckdb
+
+    hostile = 'a"b\\c\nd\te'
+    import re
+
+    from pyobo_spark import queries as Q
+
+    m = re.search(
+        r"replace\(replace\(replace\(replace\(coalesce\(name, ''\)"
+        r"[^\n]*\n[^\n]*AS name_esc",
+        Q.ORACLES["skos_triples"],
+    )
+    expr = m.group(0).rsplit(" AS ", 1)[0].replace(
+        "coalesce(name, '')", "?"
+    )
+    got = duckdb.connect().execute(f"SELECT {expr}", [hostile]).fetchone()[0]
+    want_df = spark.createDataFrame([(hostile,)], "s string").select(
+        rdf_writers._esc_lit(F.col("s")).alias("e")
+    )
+    want = want_df.collect()[0]["e"]
+    assert got == want
