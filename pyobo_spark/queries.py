@@ -1837,6 +1837,51 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_embedding_near_dup_planted(spark, sf_dir):
+    """Planted-twin variant of the embedding near-dup leg: exact vector
+    copies at vec_id + 10^7 MUST pair with cosine exactly 1.0 — gives
+    the kernel a non-empty oracle (the organic query legitimately finds
+    zero pairs at these SFs)."""
+    emb = tp.load(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 == 0)
+    twins = base.select(
+        (F.col("vec_id") + 10000000).alias("vec_id"), "embedding"
+    )
+    corpus = base.select("vec_id", "embedding").unionByName(twins)
+    a = corpus.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = corpus.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "va", "vb", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(c), F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 10000000)
+        .withColumn("cosine", dot / (norm("va") * norm("vb")))
+        .where(F.col("cosine") >= 0.8)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP_PLANTED = """
+SELECT vec_id AS id_a, vec_id + 10000000 AS id_b,
+       CAST(1.0 AS DOUBLE) AS cosine
+FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
 def q_obonet_links(spark, sf_dir):
     """to_obonet link list (struct.py:1550-1561): is_a + relationship
     edges as CURIE triples (operators/obonet_export.py)."""
@@ -2011,6 +2056,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_counts_regex": q_token_counts_regex,
     "events_windowed": q_events_windowed,
     "events_sliding": q_events_sliding,
+    "embedding_near_dup_planted": q_embedding_near_dup_planted,
 }
 
 ORACLES: dict[str, str] = {
@@ -2082,4 +2128,5 @@ ORACLES: dict[str, str] = {
     "embedding_nearest_terms": SQL_EMBEDDING_NEAREST_TERMS,
     "obonet_links": SQL_OBONET_LINKS,
     "skos_triples": SQL_SKOS_TRIPLES,
+    "embedding_near_dup_planted": SQL_EMBEDDING_NEAR_DUP_PLANTED,
 }
