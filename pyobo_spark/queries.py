@@ -1882,6 +1882,60 @@ FROM embeddings WHERE vec_id % 10 = 0
 """
 
 
+def _planted_embedding_corpus(spark, sf_dir):
+    emb = tp.load(spark, sf_dir, "embeddings")
+    base = emb.where(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding"
+    )
+    twins = base.select(
+        (F.col("vec_id") + 10000000).alias("vec_id"), "embedding"
+    )
+    return base, base.unionByName(twins)
+
+
+def q_ann_lsh_planted(spark, sf_dir):
+    """Planted-twin oracle for the multi-table hyperplane LSH path:
+    an exact vector copy shares every table's bucket, so the FULL
+    pipeline (signatures → bucket join → exact re-rank) must return it
+    at rank 1 with cosine 1.0 for every planted query."""
+    base, corpus = _planted_embedding_corpus(spark, sf_dir)
+    res = similarity.cosine_topk_lsh(corpus, base, k=3)
+    return res.where(
+        F.col("neighbor_id") == F.col("query_id") + 10000000
+    ).select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+SQL_ANN_LSH_PLANTED = """
+SELECT vec_id AS query_id, vec_id + 10000000 AS neighbor_id,
+       CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS BIGINT) AS rank
+FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+def q_ann_ivf_planted(spark, sf_dir):
+    """Planted-twin oracle for the IVF path: an exact copy lands in the
+    query's own centroid bucket (always probed), so retrieval at rank 1
+    with cosine 1.0 is guaranteed through coarse quantization."""
+    base, corpus = _planted_embedding_corpus(spark, sf_dir)
+    res = similarity.cosine_topk_ivf(corpus, base, k=3, n_probe=2)
+    return res.where(
+        F.col("neighbor_id") == F.col("query_id") + 10000000
+    ).select(
+        "query_id", "neighbor_id", "cosine",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+SQL_ANN_IVF_PLANTED = """
+SELECT vec_id AS query_id, vec_id + 10000000 AS neighbor_id,
+       CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS BIGINT) AS rank
+FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
 def q_obonet_links(spark, sf_dir):
     """to_obonet link list (struct.py:1550-1561): is_a + relationship
     edges as CURIE triples (operators/obonet_export.py)."""
@@ -2057,6 +2111,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed": q_events_windowed,
     "events_sliding": q_events_sliding,
     "embedding_near_dup_planted": q_embedding_near_dup_planted,
+    "ann_lsh_planted": q_ann_lsh_planted,
+    "ann_ivf_planted": q_ann_ivf_planted,
 }
 
 ORACLES: dict[str, str] = {
@@ -2129,4 +2185,6 @@ ORACLES: dict[str, str] = {
     "obonet_links": SQL_OBONET_LINKS,
     "skos_triples": SQL_SKOS_TRIPLES,
     "embedding_near_dup_planted": SQL_EMBEDDING_NEAR_DUP_PLANTED,
+    "ann_lsh_planted": SQL_ANN_LSH_PLANTED,
+    "ann_ivf_planted": SQL_ANN_IVF_PLANTED,
 }
