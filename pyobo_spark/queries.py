@@ -1878,15 +1878,15 @@ def q_embedding_near_dup_planted(spark, sf_dir):
 SQL_EMBEDDING_NEAR_DUP_PLANTED = """
 SELECT vec_id AS id_a, vec_id + 10000000 AS id_b,
        CAST(1.0 AS DOUBLE) AS cosine
-FROM embeddings WHERE vec_id % 10 = 0
+FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 10000000
 """
 
 
 def _planted_embedding_corpus(spark, sf_dir):
     emb = tp.load(spark, sf_dir, "embeddings")
-    base = emb.where(F.col("vec_id") % 10 == 0).select(
-        "vec_id", "embedding"
-    )
+    base = emb.where(
+        (F.col("vec_id") % 10 == 0) & (F.col("vec_id") < 10000000)
+    ).select("vec_id", "embedding")
     twins = base.select(
         (F.col("vec_id") + 10000000).alias("vec_id"), "embedding"
     )
@@ -1911,7 +1911,7 @@ def q_ann_lsh_planted(spark, sf_dir):
 SQL_ANN_LSH_PLANTED = """
 SELECT vec_id AS query_id, vec_id + 10000000 AS neighbor_id,
        CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS BIGINT) AS rank
-FROM embeddings WHERE vec_id % 10 = 0
+FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 10000000
 """
 
 
@@ -1932,7 +1932,7 @@ def q_ann_ivf_planted(spark, sf_dir):
 SQL_ANN_IVF_PLANTED = """
 SELECT vec_id AS query_id, vec_id + 10000000 AS neighbor_id,
        CAST(1.0 AS DOUBLE) AS cosine, CAST(1 AS BIGINT) AS rank
-FROM embeddings WHERE vec_id % 10 = 0
+FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 10000000
 """
 
 
@@ -2031,8 +2031,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # flagship round-2 greens. 47 of the 50 are oracle-backed; the 3
     # rows-only entries (minhash_near_duplicates, simhash,
     # media_features) each have a planted-oracle twin IN the window
-    # covering their kernel. Overflow entries below the window were
-    # driver-green in round 2 and stay green under tests/parity.py.
+    # covering their kernel. Overflow entries below the window are
+    # exercised by tests/parity.py (which defaults to ALL queries,
+    # rows-only included) and tests/test_oracle_parity.py; the
+    # oracle-backed ones were driver-green in round 2, and the three
+    # rotated-out rows-only queries (ngram_jaccard, ann_cosine_lsh,
+    # ann_cosine_ivf) have their kernels driver-checked via the planted
+    # twins above.
     "events_sessionize": q_events_sessionize,
     "sssom_with_justification": q_sssom_with_justification,
     "semantic_mappings": q_semantic_mappings,
@@ -2051,7 +2056,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "term_embeddings": q_term_embeddings,
     "embedding_nearest_terms": q_embedding_nearest_terms,
     # hash-family ops: organic outputs are engine-specific (rows-only),
-    # but each kernel's planted-twin oracle sits right beside it
+    # but each kernel's planted-twin oracle sits right beside it in the
+    # window
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash": q_simhash,
     "ann_lsh_planted": q_ann_lsh_planted,

@@ -95,7 +95,7 @@ def main():
     from pyobo_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    names = sys.argv[2:] or list(Q.ORACLES)
+    names = sys.argv[2:] or list(Q.QUERIES)
     spark = get_spark("parity", cores=8, shuffle_partitions=8)
     con = duck_con(sf_dir)
     failed = []
