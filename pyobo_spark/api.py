@@ -34,7 +34,8 @@ def catalog_from_parquet(spark, root: str) -> "OntologyCatalog":
     for name in ("terms", "synonyms", "xrefs", "relations", "parents",
                  "alts", "properties", "object_properties", "typedefs",
                  "replaced_by", "considers", "intersections", "subsets",
-                 "disjoints", "metadata"):
+                 "subsetdefs", "synonym_typedefs", "disjoints",
+                 "metadata"):
         path = os.path.join(root, f"{name}.parquet")
         if os.path.exists(path):
             tables[name] = spark.read.parquet(path)
@@ -65,6 +66,8 @@ class OntologyCatalog:
         self.intersections = tables.get("intersections")
         self.object_properties = tables.get("object_properties")
         self.subsets = tables.get("subsets")
+        self.subsetdefs = tables.get("subsetdefs")
+        self.synonym_typedefs = tables.get("synonym_typedefs")
         self.disjoints = tables.get("disjoints")
         self.metadata = tables.get("metadata")
         self._spark = self.terms.sparkSession
@@ -174,6 +177,31 @@ class OntologyCatalog:
                 (F.col("prefix") == prefix) & (F.col("subset") == subset)
             ).select("identifier").collect()
         }
+
+    def get_subsetdefs(self, prefix: str) -> dict[str, str]:
+        """Header subsetdef declarations: subset CURIE → comment
+        (reference Obo.subsetdefs, reader test_7 family)."""
+        if self.subsetdefs is None:
+            return {}
+        return {
+            r["subset_curie"]: r["comment"]
+            for r in self.subsetdefs.where(
+                F.col("prefix") == prefix.lower()
+            ).collect()
+        }
+
+    def get_synonym_typedefs(self, prefix: str) -> list[dict]:
+        """Header synonymtypedef declarations (reference
+        Obo.synonym_typedefs, reader test_8)."""
+        if self.synonym_typedefs is None:
+            return []
+        return [
+            {"curie": r["curie"], "name": r["name"],
+             "specificity": r["specificity"]}
+            for r in self.synonym_typedefs.where(
+                F.col("prefix") == prefix.lower()
+            ).collect()
+        ]
 
     def get_typedef_df(self, prefix: str | None = None) -> DataFrame:
         """The wide typedef dim (struct.py:2254-2318 fields); optionally

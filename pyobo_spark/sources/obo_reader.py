@@ -776,6 +776,18 @@ def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
                     {"prefix": po.prefix, "version": po.version,
                      "date": po.date}
                 ))
+                # header vocab declarations as long tables (Obo
+                # .subsetdefs / .synonym_typedefs; chunked parses emit
+                # identical rows per chunk — deduped below)
+                for curie, comment in po.subsetdefs.items():
+                    tables.append("subsetdefs")
+                    rows.append(json.dumps(
+                        {"prefix": po.prefix, "subset_curie": curie,
+                         "comment": comment}
+                    ))
+                for st in po.synonym_typedefs:
+                    tables.append("synonym_typedefs")
+                    rows.append(json.dumps(dict(st, prefix=po.prefix)))
             yield pd.DataFrame({"table": tables, "row_json": rows})
 
     df = spark.createDataFrame(texts, in_schema).repartition(
@@ -899,6 +911,21 @@ def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
                 T.StructField("prefix", T.StringType()),
                 T.StructField("version", T.StringType()),
                 T.StructField("date", T.StringType()),
+            ]
+        ),
+        "subsetdefs": T.StructType(
+            [
+                T.StructField("prefix", T.StringType()),
+                T.StructField("subset_curie", T.StringType()),
+                T.StructField("comment", T.StringType()),
+            ]
+        ),
+        "synonym_typedefs": T.StructType(
+            [
+                T.StructField("prefix", T.StringType()),
+                T.StructField("curie", T.StringType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("specificity", T.StringType()),
             ]
         ),
     }

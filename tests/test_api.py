@@ -341,3 +341,24 @@ def test_thin_lookup_wrappers(spark, catalog):
     )
     for targets in multi.values():
         assert all(":" in t for t in targets)
+
+
+def test_subsetdefs_and_synonym_typedefs(spark):
+    """Header vocab surfaces through the catalog (Obo.subsetdefs /
+    Obo.synonym_typedefs)."""
+    from pyobo_spark.api import catalog_from_obo
+
+    src = (
+        "format-version: 1.4\n"
+        'subsetdef: SLIM "the slim"\n'
+        'synonymtypedef: ST1 "abbrev" EXACT\n'
+        "ontology: tsto\n\n"
+        "[Term]\nid: TSTO:1\nname: thing\nsubset: SLIM\n"
+    )
+    cat = catalog_from_obo(spark, [("tsto", src)])
+    assert cat.get_subsetdefs("tsto") == {"obo:tsto#SLIM": "the slim"}
+    std = cat.get_synonym_typedefs("TSTO")
+    assert std == [
+        {"curie": "obo:tsto#ST1", "name": "abbrev", "specificity": "EXACT"}
+    ]
+    assert cat.get_subset_members("tsto", "SLIM") == {"1"}
