@@ -25,6 +25,8 @@ corpus side is never collected.
 
 from __future__ import annotations
 
+from collections.abc import Callable, Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -47,15 +49,99 @@ def _fake_embed(col, dim: int):
     )
 
 
-def term_embeddings(terms: DataFrame, dim: int = DEFAULT_DIM) -> DataFrame:
+def numpy_hash_model(dim: int = DEFAULT_DIM) -> Callable:
+    """A tiny deterministic stand-in "sentence encoder" used to exercise
+    the real model-call path: character-trigram hashing into a bag
+    vector, projected through a fixed seeded random matrix, L2-
+    normalized. Same call signature as a real encoder
+    (``list[str] -> ndarray (n, dim)``), so the swap to MiniLM
+    (reference api/embedding.py:117-118 loads
+    sentence-transformers/all-MiniLM-L6-v2) is this one function."""
+    import hashlib
+
+    import numpy as np
+
+    buckets = 256
+    proj = np.random.default_rng(42).standard_normal((buckets, dim))
+
+    def encode(texts) -> "np.ndarray":
+        out = np.zeros((len(texts), dim))
+        for r, t in enumerate(texts):
+            t = t or ""
+            bag = np.zeros(buckets)
+            for i in range(max(len(t) - 2, 1)):
+                h = int.from_bytes(
+                    hashlib.sha256(t[i : i + 3].encode()).digest()[:4], "big"
+                )
+                bag[h % buckets] += 1.0
+            v = bag @ proj
+            n = np.linalg.norm(v)
+            out[r] = v / n if n > 0 else v
+        return out
+
+    return encode
+
+
+def term_embeddings(
+    terms: DataFrame,
+    dim: int = DEFAULT_DIM,
+    model: Callable | None = None,
+    batch_size: int = 1024,
+) -> DataFrame:
     """(prefix, identifier, curie, vector) for every named term — the
     reference's ``get_text_embeddings_df`` artifact (embedding keyed by
-    term, computed from the term's name)."""
-    return terms.where(F.col("name").isNotNull()).select(
-        "prefix",
-        "identifier",
-        F.concat_ws(":", "prefix", "identifier").alias("curie"),
-        _fake_embed(F.col("name"), dim).alias("vector"),
+    term, computed from the term's name).
+
+    ``model=None`` (default) uses the JVM-side deterministic hash kernel
+    (zero Python in the plan). Passing a ``model`` callable
+    (``list[str] -> ndarray (n, dim)``) switches to the Arrow-batched
+    real-model path: one encoder call per Arrow batch inside
+    ``mapInPandas`` — never per-row. Map-only either way (no shuffle);
+    at cluster scale the model loads once per Python worker, not per
+    batch, because the closure is deserialized per task but the heavy
+    weights should be lazily cached module-level by the callable."""
+    named = terms.where(F.col("name").isNotNull())
+    if model is None:
+        return named.select(
+            "prefix",
+            "identifier",
+            F.concat_ws(":", "prefix", "identifier").alias("curie"),
+            _fake_embed(F.col("name"), dim).alias("vector"),
+        )
+
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            vecs = []
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf["name"].iloc[start : start + batch_size]
+                mat = model(chunk.tolist())
+                if mat.shape != (len(chunk), dim):
+                    raise ValueError(
+                        f"model returned {mat.shape}, expected "
+                        f"({len(chunk)}, {dim})"
+                    )
+                vecs.extend(
+                    [[round(float(x), 6) for x in row] for row in mat]
+                )
+            yield pd.DataFrame(
+                {
+                    "prefix": pdf["prefix"],
+                    "identifier": pdf["identifier"],
+                    "curie": pdf["prefix"].astype(str)
+                    + ":"
+                    + pdf["identifier"].astype(str),
+                    "vector": vecs,
+                }
+            )
+
+    return named.select("prefix", "identifier", "name").mapInPandas(
+        run,
+        schema=(
+            "prefix string, identifier string, curie string, "
+            "vector array<double>"
+        ),
     )
 
 

@@ -1,8 +1,12 @@
 """Multimodal column plumbing — image/audio/video as opaque binary columns
-with typed metadata. The decode/feature libs aren't in this container, so
-the decode kernels are STUBBED behind deterministic fakes / clearly-marked
-NotImplementedError; the Spark-side plumbing (schema, partitioning, Arrow
-batch shape, UDF signatures) is real and tested.
+with typed metadata. Two decode paths: the default deterministic fake
+(sha256 digest features — fully testable without codec libs) and a
+working minimal pure-numpy decoder for uncompressed containers (binary
+PPM images, PCM WAV audio); compressed formats (JPEG/PNG/MP3/MP4) need
+codec libraries not in this container and surface as
+decode_status='unsupported' rather than task failures. The Spark-side
+plumbing (schema, partitioning, Arrow batch shape, UDF signatures) is
+real and tested on both paths.
 
 At scale: media bytes live in the `content` binary column of a separate
 media table keyed by media_ref (never inline in the documents table —
@@ -43,21 +47,129 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _real_decode(kind: str, content: bytes):  # pragma: no cover - stub
-    """Placeholder for a real decoder (PIL/librosa/ffmpeg). Not available
-    in this container."""
-    raise NotImplementedError(
-        "media decode requires image/audio libraries not present in this "
-        "environment; use fake_decode=True for the deterministic stub"
+class UnsupportedMediaError(NotImplementedError):
+    """Raised for container formats the minimal decoder can't parse
+    (JPEG/PNG/MP3/MP4 need codec libraries not in this environment)."""
+
+
+def _real_decode(kind: str, content: bytes):
+    """Minimal pure-numpy decoder for two uncompressed container
+    formats — binary PPM (P6) images and PCM WAV audio — so the
+    non-fake decode path is a working kernel, not a stub. Returns
+    ``(samples: np.ndarray, meta: dict)``: for images an (h, w, 3)
+    uint8 array with width/height meta; for audio a float array in
+    [-1, 1] with sample_rate/duration_ms meta. Anything else raises
+    :class:`UnsupportedMediaError` (the row gets decode_status
+    'unsupported', it never kills the job)."""
+    import struct
+
+    import numpy as np
+
+    if content[:2] == b"P6":
+        # PPM: "P6\n<w> <h>\n<maxval>\n" then w*h*3 raw bytes.
+        # Header tokens may be separated by any whitespace/comments.
+        pos, fields = 2, []
+        while len(fields) < 3:
+            while pos < len(content) and content[pos : pos + 1].isspace():
+                pos += 1
+            if content[pos : pos + 1] == b"#":  # comment to EOL
+                while pos < len(content) and content[pos : pos + 1] != b"\n":
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(content) and not content[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(content[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        if maxval > 255:
+            raise UnsupportedMediaError("16-bit PPM not supported")
+        raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3,
+                               offset=pos)
+        return raster.reshape(h, w, 3), {"width": w, "height": h}
+
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        # WAV: walk RIFF chunks for fmt (PCM only) + data.
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(content):
+            cid, size = content[pos : pos + 4], struct.unpack(
+                "<I", content[pos + 4 : pos + 8]
+            )[0]
+            body = content[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)
+        if fmt is None or data is None:
+            raise UnsupportedMediaError("WAV missing fmt/data chunk")
+        audio_fmt, n_ch, rate, _, _, bits = fmt
+        if audio_fmt != 1 or bits not in (8, 16):
+            raise UnsupportedMediaError(
+                f"only 8/16-bit PCM WAV supported (fmt={audio_fmt}, "
+                f"bits={bits})"
+            )
+        if bits == 16:
+            samples = (
+                np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+            )
+        else:
+            samples = (
+                np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+            ) / 128.0
+        if n_ch > 1:
+            samples = samples[: len(samples) // n_ch * n_ch].reshape(
+                -1, n_ch
+            ).mean(axis=1)
+        return samples, {
+            "sample_rate": rate,
+            "duration_ms": int(len(samples) * 1000 / rate) if rate else 0,
+        }
+
+    raise UnsupportedMediaError(
+        f"no codec for this {kind} payload (magic={content[:4]!r}); "
+        "JPEG/PNG/MP3/MP4 decode requires libraries not present in this "
+        "environment"
     )
+
+
+def _real_features(kind: str, content: bytes, dim: int):
+    """Feature vector from the minimal decoder: images → per-channel
+    mean/std + aspect; audio → RMS/peak/zero-crossing-rate/duration.
+    Zero-padded/truncated to ``dim`` so the schema matches the fake
+    path."""
+    samples, meta = _real_decode(kind, content)
+    if samples.ndim == 3:  # image (h, w, 3)
+        px = samples.astype("float64") / 255.0
+        feats = [
+            *px.mean(axis=(0, 1)),
+            *px.std(axis=(0, 1)),
+            meta["width"] / max(meta["height"], 1),
+        ]
+    else:  # audio 1-D float
+        import numpy as np
+
+        n = max(len(samples), 1)
+        feats = [
+            float(np.sqrt((samples**2).mean())) if len(samples) else 0.0,
+            float(np.abs(samples).max()) if len(samples) else 0.0,
+            float((np.diff(np.signbit(samples)) != 0).sum() / n),
+            meta["duration_ms"] / 1000.0,
+        ]
+    feats = [round(float(f), 6) for f in feats[:dim]]
+    return feats + [0.0] * (dim - len(feats))
 
 
 def extract_media_features(
     media: DataFrame, dim: int = 8, fake_decode: bool = True
 ) -> DataFrame:
-    """mapInPandas feature extraction. With fake_decode, features are a
-    deterministic digest of the bytes (sha256 → dim floats in [0,1)) so
-    the distributed plumbing is fully testable without codec libs."""
+    """mapInPandas feature extraction. With fake_decode (default),
+    features are a deterministic digest of the bytes (sha256 → dim
+    floats in [0,1)) so the distributed plumbing is fully testable
+    without codec libs. With fake_decode=False the minimal pure-numpy
+    decoder runs (PPM images, PCM WAV audio — see :func:`_real_decode`);
+    unsupported containers get decode_status='unsupported' with a null
+    feature instead of failing the task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -68,7 +180,13 @@ def extract_media_features(
                     statuses.append("missing")
                     continue
                 if not fake_decode:
-                    _real_decode(kind, content)  # raises NotImplementedError
+                    try:
+                        feats.append(_real_features(kind, bytes(content), dim))
+                        statuses.append("ok")
+                    except UnsupportedMediaError:
+                        feats.append(None)
+                        statuses.append("unsupported")
+                    continue
                 digest = hashlib.sha256(bytes(content)).digest()
                 feats.append(
                     [digest[i] / 255.0 for i in range(dim)]

@@ -258,6 +258,61 @@ def test_embedding_api(spark, catalog):
         assert [s for _, s in nn] == sorted((s for _, s in nn), reverse=True)
 
 
+def test_embedding_model_path(spark):
+    """The flagged real-model path (Arrow-batched mapInPandas encoder
+    call, reference api/embedding.py:117-118 loads MiniLM there) is
+    exercised with the deterministic numpy stand-in model: same artifact
+    schema as the default JVM kernel, batched (never per-row) calls,
+    unit-norm vectors, and similar names land closer than dissimilar."""
+    import numpy as np
+
+    from pyobo_spark.operators import embeddings as E
+
+    terms = spark.createDataFrame(
+        [
+            ("fixo", "1", "mitochondrial membrane"),
+            ("fixo", "2", "mitochondrial matrix"),
+            ("fixo", "3", "zebrafish fin regeneration"),
+            ("fixo", "4", None),
+        ],
+        "prefix string, identifier string, name string",
+    )
+    out = E.term_embeddings(
+        terms, dim=8, model=E.numpy_hash_model(dim=8)
+    ).collect()
+    assert len(out) == 3  # null-name row dropped, same as default path
+    assert {r["curie"] for r in out} == {"fixo:1", "fixo:2", "fixo:3"}
+    vecs = {r["curie"]: np.array(r["vector"]) for r in out}
+    for v in vecs.values():
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    # batched: the encoder sees the whole partition in ONE call (a
+    # model returning len(batch) everywhere must yield 3.0, not 1.0)
+    batch_probe = E.term_embeddings(
+        terms.coalesce(1),
+        dim=8,
+        model=lambda ts: np.full((len(ts), 8), float(len(ts))),
+    ).collect()
+    assert all(r["vector"] == [3.0] * 8 for r in batch_probe)
+    # trigram-hash model puts the two mitochondrial names closest
+    sim = lambda a, b: float(vecs[a] @ vecs[b])  # noqa: E731
+    assert sim("fixo:1", "fixo:2") > sim("fixo:1", "fixo:3")
+    # deterministic across fresh model instances
+    again = E.term_embeddings(
+        terms, dim=8, model=E.numpy_hash_model(dim=8)
+    ).collect()
+    assert {r["curie"]: r["vector"] for r in again} == {
+        r["curie"]: r["vector"] for r in out
+    }
+    # mis-shaped model output is a loud error, not silent corruption
+    import pytest as _pytest
+
+    bad = E.term_embeddings(
+        terms, dim=8, model=lambda ts: np.zeros((len(ts), 5))
+    )
+    with _pytest.raises(Exception, match="expected"):
+        bad.collect()
+
+
 def test_uppercase_prefix_lookups(spark, catalog):
     """Case-folding is applied end-to-end (r03 review): uppercase prefix
     arguments hit the lowercase-stored tables AND strip CURIEs with the

@@ -191,6 +191,73 @@ def test_media_feature_plumbing(spark):
     assert rows["m1"]["feature"] == again["m1"]["feature"]
 
 
+def _ppm_bytes(w=4, h=2):
+    # P6 with a comment line; pixels are (r, g, b) = (row, col, 7)
+    header = f"P6\n# fixture\n{w} {h}\n255\n".encode()
+    raster = bytes(
+        b for y in range(h) for x in range(w) for b in (y, x, 7)
+    )
+    return header + raster
+
+
+def _wav_bytes(rate=8000, n=800):
+    # 16-bit mono PCM square wave, alternating +/-16384 every 8 samples
+    import struct
+
+    samples = b"".join(
+        struct.pack("<h", 16384 if (i // 8) % 2 == 0 else -16384)
+        for i in range(n)
+    )
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(samples)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(samples)) + samples
+    )
+
+
+def test_media_real_decode_kernels():
+    import numpy as np
+
+    img, meta = multimodal._real_decode("image", _ppm_bytes())
+    assert img.shape == (2, 4, 3) and meta == {"width": 4, "height": 2}
+    assert img[1, 2].tolist() == [1, 2, 7]
+    audio, ameta = multimodal._real_decode("audio", _wav_bytes())
+    assert ameta["sample_rate"] == 8000 and ameta["duration_ms"] == 100
+    assert np.isclose(np.abs(audio).max(), 0.5)
+
+
+def test_media_real_decode_distributed(spark):
+    media = spark.createDataFrame(
+        [
+            ("img", "image", bytearray(_ppm_bytes()), None, None, None, None),
+            ("wav", "audio", bytearray(_wav_bytes()), None, None, None, None),
+            ("jpg", "image", bytearray(b"\xff\xd8\xff\xe0junk"), None, None,
+             None, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_ref"]: r
+        for r in multimodal.extract_media_features(
+            media, dim=8, fake_decode=False
+        ).collect()
+    }
+    assert rows["img"]["decode_status"] == "ok"
+    # channel means of the (row, col, 7) raster: r=mean(0,1)=0.5/255
+    feats = rows["img"]["feature"]
+    assert len(feats) == 8
+    assert abs(feats[0] - 0.5 / 255) < 1e-4  # mean red
+    assert abs(feats[2] - 7 / 255) < 1e-4  # mean blue (constant 7)
+    assert abs(feats[6] - 2.0) < 1e-6  # aspect w/h = 4/2
+    assert rows["wav"]["decode_status"] == "ok"
+    assert abs(rows["wav"]["feature"][0] - 0.5) < 1e-3  # RMS of square wave
+    assert abs(rows["wav"]["feature"][3] - 0.1) < 1e-6  # duration sec
+    # unsupported container degrades per-row, doesn't kill the task
+    assert rows["jpg"]["decode_status"] == "unsupported"
+    assert rows["jpg"]["feature"] is None
+
+
 def test_frame_sample_plan(spark):
     media = spark.createDataFrame(
         [("v1", "video", None, None, None, None, 3500)],
