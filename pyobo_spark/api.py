@@ -79,19 +79,23 @@ class OntologyCatalog:
         """api/names.py:127-141."""
         return {
             r["identifier"]
-            for r in self.terms.where(F.col("prefix") == prefix)
-            .select("identifier").collect()
+            for r in self._bounded_rows(
+                self.terms.where(F.col("prefix") == prefix).select(
+                    "identifier"
+                ),
+                "get_ids",
+            )
         }
 
     def get_id_name_mapping(self, prefix: str) -> dict[str, str]:
         """api/names.py:201-234."""
         df = exports.names(self.terms.where(F.col("prefix") == prefix))
-        return {r["identifier"]: r["name"] for r in df.collect()}
+        return {r["identifier"]: r["name"] for r in self._bounded_rows(df, "this mapping export")}
 
     def get_name_id_mapping(self, prefix: str) -> dict[str, str]:
         """api/names.py:239-245 (deterministic min-id on collision)."""
         df = exports.name_id_mapping(self.terms.where(F.col("prefix") == prefix))
-        return {r["name"]: r["identifier"] for r in df.collect()}
+        return {r["name"]: r["identifier"] for r in self._bounded_rows(df, "this mapping export")}
 
     def get_name(self, prefix: str, identifier: str) -> str | None:
         """api/names.py:68-122 — with alt-id upgrade fallback."""
@@ -115,7 +119,7 @@ class OntologyCatalog:
         df = exports.definitions(
             self.terms.where(F.col("prefix") == prefix.lower())
         )
-        return {r["identifier"]: r["definition"] for r in df.collect()}
+        return {r["identifier"]: r["definition"] for r in self._bounded_rows(df, "this mapping export")}
 
     def get_definition(self, prefix: str, identifier: str) -> str | None:
         """api/names.py definition lookup w/ reference cleanup."""
@@ -131,9 +135,12 @@ class OntologyCatalog:
         """api/names.py:281-296."""
         return {
             r["identifier"]
-            for r in exports.obsoletes(
-                self.terms.where(F.col("prefix") == prefix)
-            ).select("identifier").collect()
+            for r in self._bounded_rows(
+                exports.obsoletes(
+                    self.terms.where(F.col("prefix") == prefix)
+                ).select("identifier"),
+                "get_obsolete",
+            )
         }
 
     def get_references(self, prefix: str) -> DataFrame:
@@ -147,13 +154,35 @@ class OntologyCatalog:
         df = exports.synonyms_grouped_list(
             self.synonyms.where(F.col("prefix") == prefix)
         )
-        return {r["identifier"]: list(r["synonyms"]) for r in df.collect()}
+        return {r["identifier"]: list(r["synonyms"]) for r in self._bounded_rows(df, "this mapping export")}
 
     def get_synonyms(self, prefix: str, identifier: str) -> list[str]:
         """api/names.py get_synonyms — one term's sorted synonyms."""
         return self.get_id_synonyms_mapping(prefix.lower()).get(
             identifier, []
         )
+
+    #: dict-returning lookups collect whole per-ontology artifacts to
+    #: the driver (the reference's cached-mapping API does the same via
+    #: TSV caches). Ontology dims are bounded (the largest, NCBITaxon,
+    #: is ~2.6M terms), but a misconfigured catalog over a corpus-sized
+    #: table must fail loudly instead of OOMing the driver — so every
+    #: such collect is capped here. Raise/lower per catalog if needed.
+    max_collect_rows: int = 10_000_000
+
+    def _bounded_rows(self, df: DataFrame, what: str) -> list:
+        """collect() with the driver-OOM guard: fetches at most
+        max_collect_rows + 1 rows and raises if the cap is exceeded."""
+        rows = df.limit(self.max_collect_rows + 1).collect()
+        if len(rows) > self.max_collect_rows:
+            raise ValueError(
+                f"{what} would collect more than "
+                f"{self.max_collect_rows:,} rows to the driver; this is "
+                "corpus-shaped data — use the *_df form, or raise "
+                "catalog.max_collect_rows if the dimension really is "
+                "this large"
+            )
+        return rows
 
     def _empty(self, ddl: str) -> DataFrame:
         return self._spark.createDataFrame([], ddl)
@@ -303,18 +332,22 @@ class OntologyCatalog:
         df = exports.alts_grouped_list(
             self.alts.where(F.col("prefix") == prefix)
         )
-        return {r["identifier"]: list(r["alt_ids"]) for r in df.collect()}
+        return {r["identifier"]: list(r["alt_ids"]) for r in self._bounded_rows(df, "this mapping export")}
 
     def get_alts_to_id(self, prefix: str) -> dict[str, str]:
         """api/alts.py:52-63 — alt id → primary id."""
-        rows = (
-            self.alts.where(F.col("prefix") == prefix.lower())
-            .select("alt_id", "identifier").collect()
+        rows = self._bounded_rows(
+            self.alts.where(F.col("prefix") == prefix.lower()).select(
+                "alt_id", "identifier"
+            ),
+            "get_alts_to_id",
         )
         return {r["alt_id"]: r["identifier"] for r in rows}
 
     def get_primary_identifier(self, prefix: str, identifier: str) -> str:
         """api/alts.py:89-105 — alts_to_id.get(id, id)."""
+        if self.alts is None:  # sources without an alt-id table
+            return identifier
         rows = (
             self.alts.where(
                 (F.col("prefix") == prefix) & (F.col("alt_id") == identifier)
@@ -348,7 +381,7 @@ class OntologyCatalog:
             .groupBy("identifier")
             .agg(F.min("target_id").alias("target_id"))
         )
-        return {r["identifier"]: r["target_id"] for r in df.collect()}
+        return {r["identifier"]: r["target_id"] for r in self._bounded_rows(df, "this mapping export")}
 
     def get_mappings_df(self, prefix: str) -> DataFrame:
         """SSSOM rows (struct.py:2167-2201)."""
@@ -362,6 +395,53 @@ class OntologyCatalog:
                 ),
             )
             .dropDuplicates()
+        )
+
+    def get_semantic_mapping_metadata(
+        self,
+        prefix: str,
+        *,
+        id: str | None = None,  # noqa: A002 — reference keyword name
+        confidence: float | None = None,
+        version: str | None = None,
+        lookup_missing_version: bool = True,
+    ) -> dict:
+        """SSSOM mapping-set metadata for a resource — the reference's
+        ``get_semantic_mapping_metadata`` (constants.py:293-322), which
+        builds a ``sssom_pydantic.MappingSet`` from the bioregistry
+        record plus a bioversions lookup. Bioregistry/bioversions are
+        network services (oos); the same fields come from the local
+        prefix registry + this catalog's metadata table, with the
+        reference's exact fallback mapping-set IRI."""
+        from .normalize.registry import Registry, preferred_case
+
+        reg = Registry.default()
+        norm = reg.normalize_prefix(prefix) or prefix.lower()
+        if version is None and lookup_missing_version:
+            version = self.get_version(norm)
+        meta = self.get_metadata(norm) or {}
+        return {
+            "id": id
+            or f"https://w3id.org/biopragmatics/pyobo/mappings/{norm}.sssom.tsv",
+            "title": preferred_case(norm),
+            "source": [f"https://bioregistry.io/{norm}"],
+            "description": meta.get("description"),
+            "license": meta.get("license"),
+            "confidence": confidence,
+            "version": version,
+        }
+
+    def get_semantic_mapping_pack(self, prefix: str) -> tuple[DataFrame, dict]:
+        """(mappings DataFrame, mapping-set metadata) — the reference's
+        ``SemanticMappingPack`` shape (api/xrefs.py:122-146): the SSSOM
+        rows paired with the set-level metadata that heads the SSSOM
+        TSV. The DataFrame side stays distributed."""
+        meta = self.get_semantic_mapping_metadata(prefix)
+        return (
+            self.get_semantic_mappings_df(
+                prefix, version=meta.get("version")
+            ),
+            meta,
         )
 
     def get_semantic_mappings_df(
@@ -402,12 +482,12 @@ class OntologyCatalog:
             self.relations.where(F.col("prefix") == prefix),
             relation[0], relation[1], target_prefix,
         )
-        return {r["identifier"]: r["target_id"] for r in df.collect()}
+        return {r["identifier"]: r["target_id"] for r in self._bounded_rows(df, "this mapping export")}
 
     def get_id_species_mapping(self, prefix: str) -> dict[str, str]:
         """api/species.py:25-45."""
         df = exports.species(self.relations.where(F.col("prefix") == prefix))
-        return {r["identifier"]: r["taxonomy_id"] for r in df.collect()}
+        return {r["identifier"]: r["taxonomy_id"] for r in self._bounded_rows(df, "this mapping export")}
 
     def get_species(self, prefix: str, identifier: str) -> str | None:
         """api/species.py:50-66 — single-term taxonomy lookup."""
@@ -463,7 +543,7 @@ class OntologyCatalog:
         df = exports.relation_multimapping_list(
             self.relations.where(F.col("prefix") == prefix), *relation
         )
-        return {r["identifier"]: list(r["targets"]) for r in df.collect()}
+        return {r["identifier"]: list(r["targets"]) for r in self._bounded_rows(df, "this mapping export")}
 
     # ---- properties (api/properties.py) ----
     def get_properties_df(self, prefix: str) -> DataFrame:
@@ -520,7 +600,7 @@ class OntologyCatalog:
         self, prefix: str, prop: str
     ) -> dict[str, str]:
         df = exports.filtered_properties_mapping(self.properties, prop, prefix)
-        return {r["identifier"]: r["value"] for r in df.collect()}
+        return {r["identifier"]: r["value"] for r in self._bounded_rows(df, "this mapping export")}
 
     def _empty_object_props(self) -> DataFrame:
         from . import schemas

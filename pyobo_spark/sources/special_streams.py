@@ -1,0 +1,96 @@
+"""Special-stream nomenclature sources — resources too big / too flat
+for the ontology flow, appended to database artifacts after the
+per-prefix fan-out.
+
+Reference parity: ``cli/database_utils.py:33-42`` (``_iter_ncbigene`` —
+streams the 56.7M-row gzipped ``gene_info`` TSV and yields
+``(prefix, identifier, name)`` from positional columns) and
+``:56-66`` (``_iter_pubchem_compound`` — CID→name TSV in ISO-8859-1),
+both unioned into the names artifact by ``_iter_names``
+(``cli/database_utils.py:44-54``).
+
+Spark-first shape: the reference streams these row-by-row through the
+driver; here each file is a distributed positional-column CSV scan
+projected straight to the artifact schema, so the 56.7M-row case is a
+narrow map-only plan instead of a single-process gunzip loop.
+
+Scale note: ``.gz`` inputs are NOT splittable — Spark reads a gzipped
+file in one task. At the 100-TB tier, land these as uncompressed /
+zstd-in-parquet first (one conversion job), or pass a directory of
+pre-split shards; the reader below takes either a file or a directory
+glob unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: positional columns in NCBI gene_info: 1=GeneID, 2=Symbol
+#: (cli/database_utils.py:52 calls ``_iter_ncbigene(1, 2)`` for names)
+GENE_INFO_ID_COL = 1
+GENE_INFO_NAME_COL = 2
+
+
+def read_gene_info(
+    spark: SparkSession,
+    path: str,
+    prefix: str = "ncbigene",
+    id_col: int = GENE_INFO_ID_COL,
+    name_col: int = GENE_INFO_NAME_COL,
+) -> DataFrame:
+    """(prefix, identifier, name) from an NCBI ``gene_info``-shaped TSV:
+    tab-separated positional columns, ``#``-prefixed header line. The
+    two column indices are parameters exactly like the reference's
+    ``_iter_ncbigene(left, right)`` so the same reader serves e.g.
+    (1, 2) names and other column pairs."""
+    raw = (
+        spark.read.option("sep", "\t")
+        .option("comment", "#")  # gene_info's header line starts with '#'
+        .option("quote", "")  # gene names may contain quotes; no quoting
+        .csv(path)
+    )
+    return raw.select(
+        F.lit(prefix).alias("prefix"),
+        F.col(f"_c{id_col}").alias("identifier"),
+        F.col(f"_c{name_col}").alias("name"),
+    ).where(F.col("identifier").isNotNull() & F.col("name").isNotNull())
+
+
+def read_cid_name(
+    spark: SparkSession, path: str, prefix: str = "pubchem.compound"
+) -> DataFrame:
+    """(prefix, identifier, name) from a PubChem ``CID-Title``-shaped
+    TSV (no header, ISO-8859-1 — reference cli/database_utils.py:58
+    opens it with that encoding). Keeps the first title per CID, like
+    the reference's first-wins dict semantics downstream."""
+    raw = (
+        spark.read.option("sep", "\t")
+        .option("encoding", "ISO-8859-1")
+        .option("quote", "")
+        .csv(path)
+    )
+    dedup = (
+        raw.where(F.col("_c0").isNotNull() & F.col("_c1").isNotNull())
+        .withColumn("_ord", F.monotonically_increasing_id())
+        .groupBy("_c0")
+        .agg(F.min_by("_c1", F.col("_ord")).alias("_c1"))
+    )
+    return dedup.select(
+        F.lit(prefix).alias("prefix"),
+        F.col("_c0").alias("identifier"),
+        F.col("_c1").alias("name"),
+    )
+
+
+def names_with_special_streams(
+    names: DataFrame, specials: list[DataFrame]
+) -> DataFrame:
+    """The reference's ``_iter_names`` composition: the ontology-derived
+    names artifact followed by each special stream, schema-aligned.
+    Pure unionByName — no shuffle; each input keeps its own scan
+    parallelism."""
+    out = names.select("prefix", "identifier", "name")
+    for s in specials:
+        out = out.unionByName(s.select("prefix", "identifier", "name"))
+    return out

@@ -258,6 +258,92 @@ def test_embedding_api(spark, catalog):
         assert [s for _, s in nn] == sorted((s for _, s in nn), reverse=True)
 
 
+def test_collect_guard(spark, catalog):
+    """Dict/set-returning lookups are capped (VERDICT r03 item 7): a
+    corpus-sized table behind a catalog raises instead of OOMing the
+    driver; the *_df forms stay unbounded."""
+    old = catalog.max_collect_rows
+    try:
+        catalog.max_collect_rows = 5  # fixture has 40 terms
+        with pytest.raises(ValueError, match="max_collect_rows"):
+            catalog.get_id_name_mapping("fixo")
+        with pytest.raises(ValueError, match="max_collect_rows"):
+            catalog.get_ids("fixo")
+        # DataFrame forms are untouched by the cap
+        assert catalog.get_references("fixo").count() > 5
+    finally:
+        catalog.max_collect_rows = old
+    assert len(catalog.get_id_name_mapping("fixo")) == 40
+
+
+def test_semantic_mapping_metadata(spark, catalog):
+    """Mapping-set metadata mirrors the reference's MappingSet shape
+    (constants.py:293-322): fallback w3id IRI, preferred-case title,
+    bioregistry source link, version from the catalog, caller
+    overrides for id/confidence."""
+    meta = catalog.get_semantic_mapping_metadata("fixo")
+    assert (
+        meta["id"]
+        == "https://w3id.org/biopragmatics/pyobo/mappings/fixo.sssom.tsv"
+    )
+    assert meta["title"] == "fixo"
+    assert meta["source"] == ["https://bioregistry.io/fixo"]
+    assert meta["confidence"] is None
+    # registry-known prefix gets its preferred casing, like bioregistry
+    chebi = catalog.get_semantic_mapping_metadata("CHEBI")
+    assert chebi["title"] == "CHEBI"
+    assert chebi["id"].endswith("/chebi.sssom.tsv")
+    # explicit overrides win (reference kwargs id=/confidence=/version=)
+    ov = catalog.get_semantic_mapping_metadata(
+        "fixo", id="https://example.org/set", confidence=0.9, version="9.9"
+    )
+    assert ov["id"] == "https://example.org/set"
+    assert ov["confidence"] == 0.9 and ov["version"] == "9.9"
+    # pack = (distributed SSSOM rows, set metadata)
+    df, pack_meta = catalog.get_semantic_mapping_pack("fixo")
+    assert pack_meta["title"] == "fixo"
+    assert {"subject_id", "predicate_id", "object_id"} <= set(df.columns)
+    assert df.count() > 0
+
+
+def test_special_streams(spark, tmp_path):
+    """ncbigene/pubchem-style special streams (cli/database_utils.py:
+    33-66): positional-column TSV scans appended to the names artifact."""
+    from pyobo_spark.sources import special_streams as ss
+
+    gene_info = tmp_path / "gene_info.tsv"
+    gene_info.write_text(
+        "#tax_id\tGeneID\tSymbol\tLocusTag\n"
+        "9606\t1\tA1BG\t-\n"
+        "9606\t2\tA2M\t-\n"
+        "10090\t11287\tPzp\t-\n"
+    )
+    genes = ss.read_gene_info(spark, str(gene_info))
+    rows = {r["identifier"]: r for r in genes.collect()}
+    assert set(rows) == {"1", "2", "11287"}
+    assert rows["1"]["name"] == "A1BG" and rows["1"]["prefix"] == "ncbigene"
+
+    cid = tmp_path / "cid_name.tsv"
+    cid.write_bytes(
+        "1\tAcetyl-CoA\n1\tduplicate title\n2\tGlucose \xe9\n".encode(
+            "ISO-8859-1"
+        )
+    )
+    cids = {r["identifier"]: r for r in ss.read_cid_name(spark, str(cid)).collect()}
+    assert cids["1"]["name"] == "Acetyl-CoA"  # first-wins like the reference
+    assert cids["2"]["name"] == "Glucose \xe9"  # ISO-8859-1 decoded
+    assert cids["1"]["prefix"] == "pubchem.compound"
+
+    names = spark.createDataFrame(
+        [("fixo", "7", "some term")], "prefix string, identifier string, name string"
+    )
+    combined = ss.names_with_special_streams(
+        names, [genes, ss.read_cid_name(spark, str(cid))]
+    )
+    assert combined.count() == 1 + 3 + 2
+    assert combined.columns == ["prefix", "identifier", "name"]
+
+
 def test_embedding_model_path(spark):
     """The flagged real-model path (Arrow-batched mapInPandas encoder
     call, reference api/embedding.py:117-118 loads MiniLM there) is
