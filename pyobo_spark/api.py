@@ -171,10 +171,11 @@ class OntologyCatalog:
     max_collect_rows: int = 10_000_000
 
     def _bounded_rows(self, df: DataFrame, what: str) -> list:
-        """collect() with the driver-OOM guard: fetches at most
-        max_collect_rows + 1 rows and raises if the cap is exceeded."""
-        rows = df.limit(self.max_collect_rows + 1).collect()
-        if len(rows) > self.max_collect_rows:
+        """collect() with the driver-OOM guard. The cap probe is a
+        count over limit(cap+1) — rows never leave the executors, so
+        even wide (array-valued) corpus-shaped rows can't OOM the
+        driver on the way to the error."""
+        if df.limit(self.max_collect_rows + 1).count() > self.max_collect_rows:
             raise ValueError(
                 f"{what} would collect more than "
                 f"{self.max_collect_rows:,} rows to the driver; this is "
@@ -182,7 +183,7 @@ class OntologyCatalog:
                 "catalog.max_collect_rows if the dimension really is "
                 "this large"
             )
-        return rows
+        return df.collect()
 
     def _empty(self, ddl: str) -> DataFrame:
         return self._spark.createDataFrame([], ddl)
@@ -329,6 +330,8 @@ class OntologyCatalog:
     # ---- alts (api/alts.py) ----
     def get_id_to_alts(self, prefix: str) -> dict[str, list[str]]:
         """api/alts.py:34-47."""
+        if self.alts is None:  # sources without an alt-id table
+            return {}
         df = exports.alts_grouped_list(
             self.alts.where(F.col("prefix") == prefix)
         )
@@ -336,6 +339,8 @@ class OntologyCatalog:
 
     def get_alts_to_id(self, prefix: str) -> dict[str, str]:
         """api/alts.py:52-63 — alt id → primary id."""
+        if self.alts is None:
+            return {}
         rows = self._bounded_rows(
             self.alts.where(F.col("prefix") == prefix.lower()).select(
                 "alt_id", "identifier"
@@ -410,23 +415,26 @@ class OntologyCatalog:
         ``get_semantic_mapping_metadata`` (constants.py:293-322), which
         builds a ``sssom_pydantic.MappingSet`` from the bioregistry
         record plus a bioversions lookup. Bioregistry/bioversions are
-        network services (oos); the same fields come from the local
-        prefix registry + this catalog's metadata table, with the
-        reference's exact fallback mapping-set IRI."""
+        network services (oos), so: title/IRI/source come from the
+        local prefix registry, version from this catalog's metadata
+        table (one collect), and description/license stay None — the
+        ontology header doesn't carry them; pass them through the
+        resource catalog if known."""
         from .normalize.registry import Registry, preferred_case
 
         reg = Registry.default()
         norm = reg.normalize_prefix(prefix) or prefix.lower()
         if version is None and lookup_missing_version:
-            version = self.get_version(norm)
-        meta = self.get_metadata(norm) or {}
+            # single metadata-row collect; get_version would re-collect
+            # the same row get_metadata already fetched
+            version = (self.get_metadata(norm) or {}).get("version")
         return {
             "id": id
             or f"https://w3id.org/biopragmatics/pyobo/mappings/{norm}.sssom.tsv",
             "title": preferred_case(norm),
             "source": [f"https://bioregistry.io/{norm}"],
-            "description": meta.get("description"),
-            "license": meta.get("license"),
+            "description": None,
+            "license": None,
             "confidence": confidence,
             "version": version,
         }
@@ -435,11 +443,15 @@ class OntologyCatalog:
         """(mappings DataFrame, mapping-set metadata) — the reference's
         ``SemanticMappingPack`` shape (api/xrefs.py:122-146): the SSSOM
         rows paired with the set-level metadata that heads the SSSOM
-        TSV. The DataFrame side stays distributed."""
+        TSV. The DataFrame side stays distributed and carries the set's
+        version/license/source columns."""
         meta = self.get_semantic_mapping_metadata(prefix)
         return (
             self.get_semantic_mappings_df(
-                prefix, version=meta.get("version")
+                prefix,
+                source=meta["source"][0],
+                version=meta.get("version"),
+                license=meta.get("license"),
             ),
             meta,
         )

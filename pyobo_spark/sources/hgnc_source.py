@@ -9,10 +9,13 @@ under a nested envelope (``response.docs``), with
   else obsolete, hgnc.py:298-305),
 - symbol-as-name / name-as-definition swap (hgnc.py:307-310),
 - multi-valued per-key xref columns with per-prefix identifier fixups
-  (merops ``-``→``.``, refseq trailing-dot strip) and the reference's
+  (merops ``-``→``.``, refseq dot strip) and the reference's
   single-value⇒exact-match / multi-value⇒plain-xref routing
   (hgnc.py:388-415, gene_xrefs table hgnc.py:62-84),
-- alias/previous symbol arrays → typed synonyms (hgnc.py:427-436).
+- alias/previous symbol arrays → typed synonyms (hgnc.py:427-436):
+  both are EXACT-specificity in the reference (append_synonym defaults),
+  typed ``OMO:0003016`` (gene symbol synonym) / ``OMO:0003015``
+  (previous name) per struct.py:252-260.
 
 Spark-first shape: ``spark.read.json(multiLine)`` → one ``explode`` of
 the envelope array → the same declarative projections as the other
@@ -53,10 +56,15 @@ class EnvelopeSpec:
     definition: str = "name"             # ...and name becomes definition
     status: str | None = "status"        # 'Approved' ⇒ live
     approved_value: str = "Approved"
-    synonym_fields: dict[str, str] = field(
+    #: envelope field → (predicate, synonym-type CURIE). The reference
+    #: keeps both at EXACT specificity and distinguishes them by TYPE
+    #: (hgnc.py:427-436 + struct.py:252-260) — downgrading prev_symbol
+    #: to a related synonym would change grounding scores (the matcher
+    #: weights exact 0.9 vs related 0.5).
+    synonym_fields: dict[str, tuple[str, str]] = field(
         default_factory=lambda: {
-            "alias_symbol": "oboInOwl:hasExactSynonym",
-            "prev_symbol": "oboInOwl:hasRelatedSynonym",
+            "alias_symbol": ("oboInOwl:hasExactSynonym", "OMO:0003016"),
+            "prev_symbol": ("oboInOwl:hasExactSynonym", "OMO:0003015"),
         }
     )
     gene_xrefs: tuple[tuple[str, str], ...] = DEFAULT_GENE_XREFS
@@ -73,14 +81,18 @@ def _fixup(prefix: str, col):
     if prefix == "merops.entry":
         return F.replace(col, F.lit("-"), F.lit("."))
     if prefix == "refseq":
-        return F.regexp_replace(col, r"\.+$", "")
+        # reference uses str.strip('.') — BOTH ends (hgnc.py:401)
+        return F.regexp_replace(col, r"^\.+|\.+$", "")
     return col
 
 
 def read_hgnc_json(
     spark: SparkSession, path: str, spec: EnvelopeSpec | None = None
 ) -> dict[str, DataFrame]:
-    """HGNC-envelope JSON → {terms, synonyms, xrefs} long tables."""
+    """HGNC-envelope JSON → {terms, synonyms, xrefs, relations} long
+    tables (relations carries the from_species edge per gene). Every
+    table is always present — empty but schema-typed when the payload
+    has no matching fields — so catalog lookups never hit a None."""
     spec = spec or EnvelopeSpec()
     docs = _docs(spark, path, spec)
     cols = set(docs.columns)
@@ -111,11 +123,11 @@ def read_hgnc_json(
         ).alias("definition"),
         F.lit(None).cast("string").alias("namespace"),
         obsolete.alias("is_obsolete"),
-        F.lit("NCBITaxon:9606").alias("species_id"),  # hgnc.py:281 — human
+        F.lit("9606").alias("species_id"),  # hgnc.py:281 — human
     )
 
     syn_frames = []
-    for fld, predicate in spec.synonym_fields.items():
+    for fld, (predicate, syn_type) in spec.synonym_fields.items():
         if fld not in cols:
             continue
         syn_frames.append(
@@ -126,14 +138,18 @@ def read_hgnc_json(
                 "identifier",
                 F.col("text").cast("string").alias("text"),
                 F.lit(predicate).alias("predicate"),
-                F.lit(None).cast("string").alias("type"),
+                F.lit(syn_type).alias("type"),
                 F.lit(None).cast("array<string>").alias("provenance"),
                 F.lit(None).cast("string").alias("language"),
             )
         )
-    synonyms = None
+    synonyms = spark.createDataFrame(
+        [],
+        "prefix string, identifier string, text string, predicate string, "
+        "type string, provenance array<string>, language string",
+    )
     for sf in syn_frames:
-        synonyms = sf if synonyms is None else synonyms.unionByName(sf)
+        synonyms = synonyms.unionByName(sf)
 
     # xref routing: a key whose value is scalar (or a 1-element array)
     # becomes skos:exactMatch; multi-valued arrays become plain
@@ -171,13 +187,31 @@ def read_hgnc_json(
             .where(F.col("target_id").isNotNull() & (F.col("target_id") != ""))
         )
         xref_frames.append(leg)
-    xrefs = None
+    xrefs = spark.createDataFrame(
+        [],
+        "prefix string, identifier string, predicate string, "
+        "target_prefix string, target_id string, provenance string",
+    )
     for xf in xref_frames:
-        xrefs = xf if xrefs is None else xrefs.unionByName(xf)
+        xrefs = xrefs.unionByName(xf)
 
-    out: dict[str, DataFrame] = {"terms": terms}
-    if synonyms is not None:
-        out["synonyms"] = synonyms
-    if xrefs is not None:
-        out["xrefs"] = xrefs
-    return out
+    # from_species relations (RO:0002162 → NCBITaxon:9606, hgnc.py:281 +
+    # struct.py:1659-1675) so the catalog species API works end-to-end
+    relations = docs.select(
+        F.lit(spec.prefix).alias("prefix"),
+        ident,
+        F.lit("RO").alias("relation_prefix"),
+        F.lit("0002162").alias("relation_id"),
+        F.lit("ncbitaxon").alias("target_prefix"),
+        F.lit("9606").alias("target_id"),
+    )
+
+    # Always emit every table (empty but schema-typed when the payload
+    # has no matching fields) — a missing key would leave the catalog's
+    # corresponding attribute None and crash its lookups.
+    return {
+        "terms": terms,
+        "synonyms": synonyms,
+        "xrefs": xrefs,
+        "relations": relations,
+    }

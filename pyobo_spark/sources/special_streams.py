@@ -62,8 +62,12 @@ def read_cid_name(
 ) -> DataFrame:
     """(prefix, identifier, name) from a PubChem ``CID-Title``-shaped
     TSV (no header, ISO-8859-1 — reference cli/database_utils.py:58
-    opens it with that encoding). Keeps the first title per CID, like
-    the reference's first-wins dict semantics downstream."""
+    opens it with that encoding). One title per CID: the reference's
+    sequential read keeps the first occurrence, which has no stable
+    distributed equivalent (partition order is a file-split packing
+    detail, not input order), so duplicates resolve to the
+    lexicographically smallest title — deterministic across runs,
+    partitionings and cluster sizes."""
     raw = (
         spark.read.option("sep", "\t")
         .option("encoding", "ISO-8859-1")
@@ -72,9 +76,8 @@ def read_cid_name(
     )
     dedup = (
         raw.where(F.col("_c0").isNotNull() & F.col("_c1").isNotNull())
-        .withColumn("_ord", F.monotonically_increasing_id())
         .groupBy("_c0")
-        .agg(F.min_by("_c1", F.col("_ord")).alias("_c1"))
+        .agg(F.min("_c1").alias("_c1"))
     )
     return dedup.select(
         F.lit(prefix).alias("prefix"),

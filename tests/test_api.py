@@ -330,7 +330,7 @@ def test_special_streams(spark, tmp_path):
         )
     )
     cids = {r["identifier"]: r for r in ss.read_cid_name(spark, str(cid)).collect()}
-    assert cids["1"]["name"] == "Acetyl-CoA"  # first-wins like the reference
+    assert cids["1"]["name"] == "Acetyl-CoA"  # deterministic min title
     assert cids["2"]["name"] == "Glucose \xe9"  # ISO-8859-1 decoded
     assert cids["1"]["prefix"] == "pubchem.compound"
 

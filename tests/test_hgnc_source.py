@@ -71,7 +71,7 @@ def test_terms_banana_status_and_name_swap(tables):
     # status routing (hgnc.py:298-305)
     assert not terms["5"]["is_obsolete"]
     assert terms["8"]["is_obsolete"]
-    assert all(r["species_id"] == "NCBITaxon:9606" for r in terms.values())
+    assert all(r["species_id"] == "9606" for r in terms.values())
     assert all(r["prefix"] == "hgnc" for r in terms.values())
 
 
@@ -97,13 +97,17 @@ def test_xref_routing_and_fixups(tables):
 
 
 def test_synonym_types(tables):
+    """Both alias and previous symbols are EXACT-specificity in the
+    reference (append_synonym defaults, hgnc.py:427-436) and differ by
+    synonym TYPE (struct.py:252-260) — predicate must not be downgraded
+    or grounding scores change (exact 0.9 vs related 0.5)."""
     syn = {
-        (r["identifier"], r["text"]): r["predicate"]
+        (r["identifier"], r["text"]): (r["predicate"], r["type"])
         for r in tables["synonyms"].collect()
     }
-    assert syn[("5", "A1B")] == "oboInOwl:hasExactSynonym"
-    assert syn[("5", "ABG")] == "oboInOwl:hasExactSynonym"
-    assert syn[("7", "FWP007")] == "oboInOwl:hasRelatedSynonym"
+    assert syn[("5", "A1B")] == ("oboInOwl:hasExactSynonym", "OMO:0003016")
+    assert syn[("5", "ABG")] == ("oboInOwl:hasExactSynonym", "OMO:0003016")
+    assert syn[("7", "FWP007")] == ("oboInOwl:hasExactSynonym", "OMO:0003015")
     assert len(syn) == 3
 
 
@@ -118,3 +122,18 @@ def test_catalog_integration(spark, tmp_path):
     assert cat.get_name("hgnc", "5") == "A1BG"
     assert "8" in cat.get_obsolete("hgnc")
     assert "A1B" in cat.get_synonyms("hgnc", "5")
+    # from_species relations make the species API work (hgnc.py:281)
+    assert cat.get_species("hgnc", "5") == "9606"
+    # absent alts table degrades to empty mappings, not AttributeError
+    assert cat.get_alts_to_id("hgnc") == {}
+    assert cat.get_id_to_alts("hgnc") == {}
+    # refseq fixup strips leading dots too (reference str.strip('.'))
+    from pyobo_spark.sources.hgnc_source import _fixup
+    from pyspark.sql import functions as F
+
+    row = (
+        tables["terms"].sparkSession.range(1)
+        .select(_fixup("refseq", F.lit(".NM_021728.")).alias("v"))
+        .collect()[0]
+    )
+    assert row["v"] == "NM_021728"
