@@ -73,14 +73,18 @@ def main() -> None:
     # verified cold-scan artifact: 0.94 s warm)
     import glob as _glob
 
-    n_docs = 0
+    n_docs = None
     for pq in sorted(_glob.glob(f"{sf_dir}/*.parquet")):
         df = spark.read.parquet(pq)
         # full-column noop write: count() is metadata-only and would
         # leave the data pages cold
-        df.write.format("noop").mode("overwrite").save()
+        force(df)
         if pq.endswith("documents.parquet"):
             n_docs = df.count()
+    if n_docs is None:  # fail loudly — a 0-doc denominator would print
+        raise FileNotFoundError(  # a plausible-looking wrong docs/sec
+            f"{sf_dir}/documents.parquet not found"
+        )
     from pyspark.sql import functions as F
 
     def _warm(it):

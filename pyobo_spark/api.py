@@ -52,25 +52,29 @@ def catalog_from_obo(spark, texts: list[tuple[str, str]]) -> "OntologyCatalog":
 
 
 class OntologyCatalog:
+    #: catalog table attributes backed by the canonical long-table
+    #: schemas (obo_reader.table_schemas) — any table a source doesn't
+    #: emit is filled with a schema-typed empty so EVERY lookup works
+    #: uniformly (r04 review: per-method None guards were piecemeal;
+    #: sources like the HGNC envelope legitimately emit subsets)
+    _TABLE_ATTRS = (
+        "synonyms", "xrefs", "relations", "parents", "alts",
+        "properties", "typedefs", "replaced_by", "considers",
+        "intersections", "object_properties", "subsets", "subsetdefs",
+        "synonym_typedefs", "disjoints", "metadata",
+    )
+
     def __init__(self, tables: dict[str, DataFrame]):
+        from .sources.obo_reader import table_schemas
+
         self.terms = tables["terms"]
-        self.synonyms = tables.get("synonyms")
-        self.xrefs = tables.get("xrefs")
-        self.relations = tables.get("relations")
-        self.parents = tables.get("parents")
-        self.alts = tables.get("alts")
-        self.properties = tables.get("properties")
-        self.typedefs = tables.get("typedefs")
-        self.replaced_by = tables.get("replaced_by")
-        self.considers = tables.get("considers")
-        self.intersections = tables.get("intersections")
-        self.object_properties = tables.get("object_properties")
-        self.subsets = tables.get("subsets")
-        self.subsetdefs = tables.get("subsetdefs")
-        self.synonym_typedefs = tables.get("synonym_typedefs")
-        self.disjoints = tables.get("disjoints")
-        self.metadata = tables.get("metadata")
         self._spark = self.terms.sparkSession
+        canon = table_schemas()
+        for name in self._TABLE_ATTRS:
+            df = tables.get(name)
+            if df is None:
+                df = self._spark.createDataFrame([], canon[name])
+            setattr(self, name, df)
         self._grounders: dict[tuple[tuple[str, ...], bool], object] = {}
         self._dict_entries: dict[tuple[str, bool], list] = {}
 
@@ -174,16 +178,21 @@ class OntologyCatalog:
         """collect() with the driver-OOM guard. The cap probe is a
         count over limit(cap+1) — rows never leave the executors, so
         even wide (array-valued) corpus-shaped rows can't OOM the
-        driver on the way to the error."""
-        if df.limit(self.max_collect_rows + 1).count() > self.max_collect_rows:
-            raise ValueError(
-                f"{what} would collect more than "
-                f"{self.max_collect_rows:,} rows to the driver; this is "
-                "corpus-shaped data — use the *_df form, or raise "
-                "catalog.max_collect_rows if the dimension really is "
-                "this large"
-            )
-        return df.collect()
+        driver on the way to the error; the probe result is persisted
+        so the legitimate path pays one plan execution, not two."""
+        capped = df.limit(self.max_collect_rows + 1).persist()
+        try:
+            if capped.count() > self.max_collect_rows:
+                raise ValueError(
+                    f"{what} would collect more than "
+                    f"{self.max_collect_rows:,} rows to the driver; this "
+                    "is corpus-shaped data — use the *_df form, or raise "
+                    "catalog.max_collect_rows if the dimension really is "
+                    "this large"
+                )
+            return capped.collect()
+        finally:
+            capped.unpersist()
 
     def _empty(self, ddl: str) -> DataFrame:
         return self._spark.createDataFrame([], ddl)
@@ -330,8 +339,6 @@ class OntologyCatalog:
     # ---- alts (api/alts.py) ----
     def get_id_to_alts(self, prefix: str) -> dict[str, list[str]]:
         """api/alts.py:34-47."""
-        if self.alts is None:  # sources without an alt-id table
-            return {}
         df = exports.alts_grouped_list(
             self.alts.where(F.col("prefix") == prefix)
         )
@@ -339,8 +346,6 @@ class OntologyCatalog:
 
     def get_alts_to_id(self, prefix: str) -> dict[str, str]:
         """api/alts.py:52-63 — alt id → primary id."""
-        if self.alts is None:
-            return {}
         rows = self._bounded_rows(
             self.alts.where(F.col("prefix") == prefix.lower()).select(
                 "alt_id", "identifier"
@@ -351,11 +356,12 @@ class OntologyCatalog:
 
     def get_primary_identifier(self, prefix: str, identifier: str) -> str:
         """api/alts.py:89-105 — alts_to_id.get(id, id)."""
-        if self.alts is None:  # sources without an alt-id table
-            return identifier
         rows = (
+            # case-folded like get_alts_to_id: tables store lowercase
+            # prefixes, so a raw uppercase arg must not miss silently
             self.alts.where(
-                (F.col("prefix") == prefix) & (F.col("alt_id") == identifier)
+                (F.col("prefix") == prefix.lower())
+                & (F.col("alt_id") == identifier)
             ).select("identifier").collect()
         )
         return rows[0]["identifier"] if rows else identifier

@@ -168,8 +168,9 @@ def extract_media_features(
     floats in [0,1)) so the distributed plumbing is fully testable
     without codec libs. With fake_decode=False the minimal pure-numpy
     decoder runs (PPM images, PCM WAV audio — see :func:`_real_decode`);
-    unsupported containers get decode_status='unsupported' with a null
-    feature instead of failing the task."""
+    unsupported containers get decode_status='unsupported' and corrupt
+    payloads decode_status='corrupt', each with a null feature — a bad
+    row never fails the task."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -186,6 +187,13 @@ def extract_media_features(
                     except UnsupportedMediaError:
                         feats.append(None)
                         statuses.append("unsupported")
+                    except Exception:  # noqa: BLE001 — corrupt payloads
+                        # (truncated raster, bad header int, short fmt
+                        # chunk, ...) must degrade per-row like the
+                        # unsupported case — one bad asset in a 100-TB
+                        # scan must never abort the job
+                        feats.append(None)
+                        statuses.append("corrupt")
                     continue
                 digest = hashlib.sha256(bytes(content)).digest()
                 feats.append(

@@ -115,7 +115,11 @@ def read_hgnc_json(
     terms = docs.select(
         F.lit(spec.prefix).alias("prefix"),
         ident,
-        F.col(spec.name).cast("string").alias("name"),
+        (
+            F.col(spec.name).cast("string")
+            if spec.name in cols
+            else F.lit(None).cast("string")
+        ).alias("name"),
         (
             F.col(spec.definition).cast("string")
             if spec.definition in cols

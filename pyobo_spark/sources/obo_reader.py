@@ -740,61 +740,11 @@ def parse_obo_text_distributed(
     )
 
 
-def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
-    """Parse many (name, obo_text) docs in parallel via mapInPandas and
-    return the union'd long tables as a dict of DataFrames."""
-    in_schema = T.StructType(
-        [T.StructField("name", T.StringType()), T.StructField("text", T.StringType())]
-    )
-    out_schema = T.StructType(
-        [
-            T.StructField("table", T.StringType()),
-            T.StructField("row_json", T.StringType()),
-        ]
-    )
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import json
-
-        for pdf in batches:
-            tables, rows = [], []
-            for text in pdf["text"]:
-                po = parse_obo_text(text)
-                for tname in ("terms", "synonyms", "xrefs", "relations",
-                              "parents", "alts", "properties", "typedefs",
-                              "intersections", "replaced_by", "considers",
-                              "subsets", "unions", "disjoints",
-                              "object_properties"):
-                    for r in getattr(po, tname):
-                        tables.append(tname)
-                        rows.append(json.dumps(r))
-                # one header-metadata row per document (utils/ver
-                # VersionMetadata); chunked parses of one doc emit
-                # identical rows — deduped below
-                tables.append("metadata")
-                rows.append(json.dumps(
-                    {"prefix": po.prefix, "version": po.version,
-                     "date": po.date}
-                ))
-                # header vocab declarations as long tables (Obo
-                # .subsetdefs / .synonym_typedefs; chunked parses emit
-                # identical rows per chunk — deduped below)
-                for curie, comment in po.subsetdefs.items():
-                    tables.append("subsetdefs")
-                    rows.append(json.dumps(
-                        {"prefix": po.prefix, "subset_curie": curie,
-                         "comment": comment}
-                    ))
-                for st in po.synonym_typedefs:
-                    tables.append("synonym_typedefs")
-                    rows.append(json.dumps(dict(st, prefix=po.prefix)))
-            yield pd.DataFrame({"table": tables, "row_json": rows})
-
-    df = spark.createDataFrame(texts, in_schema).repartition(
-        max(len(texts), 1)
-    ).mapInPandas(run, schema=out_schema)
-    df = df.persist()
-    out = {}
+def table_schemas() -> dict[str, T.StructType]:
+    """Canonical long-table schemas — the single source of truth for
+    every reader/source output and for OntologyCatalog's empty-table
+    defaults (a catalog built from a source that only emits a subset
+    of tables fills the rest with empties of these shapes)."""
     from .. import schemas
 
     terms_schema = T.StructType(
@@ -870,7 +820,7 @@ def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
             T.StructField("consider", T.ArrayType(T.StringType())),
         ]
     )
-    table_schemas = {
+    return {
         "terms": terms_schema,
         "synonyms": schemas.LITERAL_MAPPINGS,
         "xrefs": xrefs_schema,
@@ -929,7 +879,64 @@ def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
             ]
         ),
     }
-    for tname, schema in table_schemas.items():
+
+
+def parse_obo_files(spark: SparkSession, texts: list[tuple[str, str]]):
+    """Parse many (name, obo_text) docs in parallel via mapInPandas and
+    return the union'd long tables as a dict of DataFrames."""
+    in_schema = T.StructType(
+        [T.StructField("name", T.StringType()), T.StructField("text", T.StringType())]
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("table", T.StringType()),
+            T.StructField("row_json", T.StringType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        for pdf in batches:
+            tables, rows = [], []
+            for text in pdf["text"]:
+                po = parse_obo_text(text)
+                for tname in ("terms", "synonyms", "xrefs", "relations",
+                              "parents", "alts", "properties", "typedefs",
+                              "intersections", "replaced_by", "considers",
+                              "subsets", "unions", "disjoints",
+                              "object_properties"):
+                    for r in getattr(po, tname):
+                        tables.append(tname)
+                        rows.append(json.dumps(r))
+                # one header-metadata row per document (utils/ver
+                # VersionMetadata); chunked parses of one doc emit
+                # identical rows — deduped below
+                tables.append("metadata")
+                rows.append(json.dumps(
+                    {"prefix": po.prefix, "version": po.version,
+                     "date": po.date}
+                ))
+                # header vocab declarations as long tables (Obo
+                # .subsetdefs / .synonym_typedefs; chunked parses emit
+                # identical rows per chunk — deduped below)
+                for curie, comment in po.subsetdefs.items():
+                    tables.append("subsetdefs")
+                    rows.append(json.dumps(
+                        {"prefix": po.prefix, "subset_curie": curie,
+                         "comment": comment}
+                    ))
+                for st in po.synonym_typedefs:
+                    tables.append("synonym_typedefs")
+                    rows.append(json.dumps(dict(st, prefix=po.prefix)))
+            yield pd.DataFrame({"table": tables, "row_json": rows})
+
+    df = spark.createDataFrame(texts, in_schema).repartition(
+        max(len(texts), 1)
+    ).mapInPandas(run, schema=out_schema)
+    df = df.persist()
+    out = {}
+    for tname, schema in table_schemas().items():
         sub = df.where(F.col("table") == tname).select("row_json")
         out[tname] = sub.select(
             F.from_json("row_json", schema).alias("r")

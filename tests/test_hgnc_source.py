@@ -137,3 +137,9 @@ def test_catalog_integration(spark, tmp_path):
         .collect()[0]
     )
     assert row["v"] == "NM_021728"
+    # every table attr is schema-typed (uniform empty defaults) — the
+    # full lookup surface works on a subset-emitting source
+    assert cat.get_properties_df("hgnc").count() == 0
+    assert cat.get_id_to_alts("hgnc") == {}
+    assert cat.get_replaced_by("hgnc", "5") is None
+    assert cat.get_subsets_df("hgnc").count() == 0

@@ -258,6 +258,39 @@ def test_media_real_decode_distributed(spark):
     assert rows["jpg"]["feature"] is None
 
 
+def test_media_corrupt_payloads_degrade(spark):
+    """Payloads with a valid magic but a broken body (bad header int,
+    truncated raster, short fmt chunk) must degrade to
+    decode_status='corrupt' per row — never abort the task."""
+    import struct
+
+    trunc_ppm = _ppm_bytes()[:-10]  # raster shorter than w*h*3
+    bad_header = b"P6\ngarbage here\n255\nxxx"
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    )
+    media = spark.createDataFrame(
+        [
+            ("t", "image", bytearray(trunc_ppm), None, None, None, None),
+            ("b", "image", bytearray(bad_header), None, None, None, None),
+            ("w", "audio", bytearray(short_fmt), None, None, None, None),
+            ("ok", "image", bytearray(_ppm_bytes()), None, None, None, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_ref"]: r
+        for r in multimodal.extract_media_features(
+            media, dim=8, fake_decode=False
+        ).collect()
+    }
+    assert rows["t"]["decode_status"] == "corrupt"
+    assert rows["b"]["decode_status"] == "corrupt"
+    assert rows["w"]["decode_status"] == "corrupt"
+    assert rows["ok"]["decode_status"] == "ok"  # good rows unaffected
+
+
 def test_frame_sample_plan(spark):
     media = spark.createDataFrame(
         [("v1", "video", None, None, None, None, 3500)],
