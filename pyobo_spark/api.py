@@ -51,6 +51,37 @@ def catalog_from_obo(spark, texts: list[tuple[str, str]]) -> "OntologyCatalog":
     return OntologyCatalog(tables)
 
 
+def from_obo_path(
+    spark, path: str, prefix: str | None = None
+) -> "OntologyCatalog":
+    """Read one OBO file into a catalog — the reference's
+    ``from_obo_path`` (reader.py / __init__.py export). The file text
+    is read driver-side (a single OBO document), then parsed in
+    parallel by the stanza-chunked distributed reader."""
+    import os
+
+    with open(path, encoding="utf-8") as fh:
+        text = fh.read()
+    name = prefix or os.path.splitext(os.path.basename(path))[0]
+    return catalog_from_obo(spark, [(name, text)])
+
+
+def default_reference(
+    prefix: str, identifier: str, name: str | None = None
+) -> tuple[str, str]:
+    """CURIE pair for an "unqualified" in-ontology reference — the
+    reference's ``default_reference`` (struct/reference.py:148-167):
+    a bare ``located_in`` inside ``chebi`` becomes
+    ``("obo", "chebi#located_in")``. ``name`` is accepted for signature
+    parity (the engine's long tables carry names separately)."""
+    if not identifier.strip():
+        raise ValueError("default identifier is empty")
+    from .normalize.registry import Registry
+
+    norm = Registry.default().normalize_prefix(prefix) or prefix.lower()
+    return ("obo", f"{norm}#{identifier}")
+
+
 class OntologyCatalog:
     #: catalog table attributes backed by the canonical long-table
     #: schemas (obo_reader.table_schemas) — any table a source doesn't
@@ -371,6 +402,18 @@ class OntologyCatalog:
         p, i = curie.split(":", 1)
         return f"{p.lower()}:{self.get_primary_identifier(p.lower(), i)}"
 
+    def get_primary_reference(
+        self, prefix: str, identifier: str
+    ) -> tuple[str, str] | None:
+        """api/alts.py:64-76 get_primary_reference — the alt-upgraded
+        (prefix, identifier) pair, or None when the prefix is unknown
+        to the catalog (the reference returns None on an invalid
+        prefix in non-strict mode)."""
+        p = prefix.lower()
+        if not self.terms.where(F.col("prefix") == p).head(1):
+            return None
+        return (p, self.get_primary_identifier(p, identifier))
+
     # ---- xrefs / mappings (api/xrefs.py) ----
     def get_xrefs_df(self, prefix: str) -> DataFrame:
         """api/xrefs.py:90-105 (deduped)."""
@@ -620,6 +663,26 @@ class OntologyCatalog:
         df = exports.filtered_properties_mapping(self.properties, prop, prefix)
         return {r["identifier"]: r["value"] for r in self._bounded_rows(df, "this mapping export")}
 
+    def get_filtered_properties_df(self, prefix: str, prop: str) -> DataFrame:
+        """api/properties.py get_filtered_properties_df — the scalable
+        DataFrame form of the filtered-properties mapping."""
+        return exports.filtered_properties_mapping(
+            self.properties, prop, prefix.lower()
+        )
+
+    def get_filtered_properties_multimapping(
+        self, prefix: str, prop: str
+    ) -> dict[str, list[str]]:
+        """api/properties.py get_filtered_properties_multimapping —
+        id → sorted value list."""
+        df = exports.filtered_properties_multimapping(
+            self.properties, prop, prefix.lower()
+        )
+        return {
+            r["identifier"]: r["values"].split("|") if r["values"] else []
+            for r in self._bounded_rows(df, "this mapping export")
+        }
+
     def _empty_object_props(self) -> DataFrame:
         from . import schemas
 
@@ -813,6 +876,31 @@ class OntologyCatalog:
                 how="left_anti",
             )
         return lm
+
+    def get_literal_mappings_subset(
+        self, prefix: str, ancestors: list[str] | str
+    ) -> DataFrame:
+        """api/combine.py:19-39 get_literal_mappings_subset — literal
+        mappings restricted to the descendant closures of the given
+        ancestor identifiers (left-semi join against the BFS closure,
+        ancestors included)."""
+        from .operators import hierarchy as H
+
+        anc = [ancestors] if isinstance(ancestors, str) else list(ancestors)
+        p = prefix.lower()
+        closure = H.descendants(
+            self.parents.where(F.col("child_prefix") == p)
+        ).where(F.col("identifier").isin(anc))
+        members = closure.select(
+            F.col("descendant").alias("identifier")
+        ).union(
+            self._spark.createDataFrame(
+                [(a,) for a in anc], "identifier string"
+            )
+        ).distinct()
+        return self.get_literal_mappings_df(p).join(
+            members, on="identifier", how="left_semi"
+        )
 
     def get_grounder(
         self, prefix: str | tuple[str, ...] | list[str],
