@@ -57,12 +57,22 @@ def from_obo_path(
     """Read one OBO file into a catalog — the reference's
     ``from_obo_path`` (reader.py / __init__.py export). The file text
     is read driver-side (a single OBO document), then parsed in
-    parallel by the stanza-chunked distributed reader."""
+    parallel by the stanza-chunked distributed reader.
+
+    The catalog keys on the document's ``ontology:`` header tag; when
+    the file has none, ``prefix`` (or the file's basename) is injected
+    as that header so the tables are reachable under a known prefix.
+    A present header always wins, like the reference's reader."""
     import os
+    import re as _re
 
     with open(path, encoding="utf-8") as fh:
         text = fh.read()
     name = prefix or os.path.splitext(os.path.basename(path))[0]
+    header_end = text.find("\n[")
+    header = text[: header_end if header_end >= 0 else len(text)]
+    if not _re.search(r"^ontology:", header, _re.M):
+        text = f"ontology: {name}\n{text}"
     return catalog_from_obo(spark, [(name, text)])
 
 
@@ -206,41 +216,29 @@ class OntologyCatalog:
     max_collect_rows: int = 10_000_000
 
     def _bounded_rows(self, df: DataFrame, what: str) -> list:
-        """collect() with the driver-OOM guard. The cap probe is a
-        count over limit(cap+1) — rows never leave the executors, so
-        even wide (array-valued) corpus-shaped rows can't OOM the
-        driver on the way to the error; the probe result is persisted
-        so the legitimate path pays one plan execution, not two."""
-        capped = df.limit(self.max_collect_rows + 1).persist()
-        try:
-            if capped.count() > self.max_collect_rows:
-                raise ValueError(
-                    f"{what} would collect more than "
-                    f"{self.max_collect_rows:,} rows to the driver; this "
-                    "is corpus-shaped data — use the *_df form, or raise "
-                    "catalog.max_collect_rows if the dimension really is "
-                    "this large"
-                )
-            return capped.collect()
-        finally:
-            capped.unpersist()
-
-    def _empty(self, ddl: str) -> DataFrame:
-        return self._spark.createDataFrame([], ddl)
+        """collect() with the driver-OOM guard. The cap probe is a pure
+        count over limit(cap+1): rows never leave the executors and
+        nothing is cached, so the misconfigured-corpus error path is
+        cheap (no 10M-row materialization). The legitimate path then
+        collects in a second bounded execution — acceptable for the
+        dimension-sized artifacts this API serves."""
+        if df.limit(self.max_collect_rows + 1).count() > self.max_collect_rows:
+            raise ValueError(
+                f"{what} would collect more than "
+                f"{self.max_collect_rows:,} rows to the driver; this "
+                "is corpus-shaped data — use the *_df form, or raise "
+                "catalog.max_collect_rows if the dimension really is "
+                "this large"
+            )
+        return df.collect()
 
     def get_subsets_df(self, prefix: str) -> DataFrame:
         """subset membership rows (struct.py subsets field / nodes-export
         subsets column)."""
-        if self.subsets is None:
-            return self._empty(
-                "prefix string, identifier string, subset string"
-            )
         return self.subsets.where(F.col("prefix") == prefix)
 
     def get_subset_members(self, prefix: str, subset: str) -> set[str]:
         """Identifiers tagged with a subset (e.g. a GO slim)."""
-        if self.subsets is None:
-            return set()
         return {
             r["identifier"]
             for r in self.subsets.where(
@@ -251,8 +249,6 @@ class OntologyCatalog:
     def get_subsetdefs(self, prefix: str) -> dict[str, str]:
         """Header subsetdef declarations: subset CURIE → comment
         (reference Obo.subsetdefs, reader test_7 family)."""
-        if self.subsetdefs is None:
-            return {}
         return {
             r["subset_curie"]: r["comment"]
             for r in self.subsetdefs.where(
@@ -263,8 +259,6 @@ class OntologyCatalog:
     def get_synonym_typedefs(self, prefix: str) -> list[dict]:
         """Header synonymtypedef declarations (reference
         Obo.synonym_typedefs, reader test_8)."""
-        if self.synonym_typedefs is None:
-            return []
         return [
             {"curie": r["curie"], "name": r["name"],
              "specificity": r["specificity"]}
@@ -276,8 +270,6 @@ class OntologyCatalog:
     def get_typedef_df(self, prefix: str | None = None) -> DataFrame:
         """The wide typedef dim (struct.py:2254-2318 fields); optionally
         filtered to one predicate namespace."""
-        if self.typedefs is None:
-            return self._empty("prefix string, identifier string, name string")
         td = self.typedefs
         if prefix is not None:
             td = td.where(F.col("prefix") == prefix)
@@ -288,8 +280,6 @@ class OntologyCatalog:
         """api/metadata.py:24-34 — the ontology's data-version header,
         run through the reference's cleanup_version rule pipeline
         (utils/misc.py:78-118) with date fallback."""
-        if self.metadata is None:
-            return None
         rows = self.metadata.where(F.col("prefix") == prefix).collect()
         if not rows:
             return None
@@ -313,8 +303,6 @@ class OntologyCatalog:
 
     def get_metadata(self, prefix: str) -> dict | None:
         """Version + date metadata dict (VersionMetadata shape)."""
-        if self.metadata is None:
-            return None
         rows = self.metadata.where(F.col("prefix") == prefix).collect()
         if not rows:
             return None
@@ -326,17 +314,10 @@ class OntologyCatalog:
     # ---- obsolete-upgrade (replaced_by / consider; struct.py:1189-1236
     #      nodes-export columns, reader replaced_by flow) ----
     def get_replacements_df(self, prefix: str) -> DataFrame:
-        if self.replaced_by is None:
-            return self._empty(
-                "prefix string, identifier string,"
-                " replacement_prefix string, replacement_id string"
-            )
         return self.replaced_by.where(F.col("prefix") == prefix)
 
     def get_replaced_by(self, prefix: str, identifier: str) -> str | None:
         """The replacement CURIE for an obsolete term, or None."""
-        if self.replaced_by is None:
-            return None
         rows = (
             self.replaced_by.where(
                 (F.col("prefix") == prefix)
@@ -354,8 +335,6 @@ class OntologyCatalog:
 
     def get_considers(self, prefix: str, identifier: str) -> list[str]:
         """consider: alternatives for an obsolete term (CURIEs)."""
-        if self.considers is None:
-            return []
         rows = (
             self.considers.where(
                 (F.col("prefix") == prefix)
@@ -371,7 +350,7 @@ class OntologyCatalog:
     def get_id_to_alts(self, prefix: str) -> dict[str, list[str]]:
         """api/alts.py:34-47."""
         df = exports.alts_grouped_list(
-            self.alts.where(F.col("prefix") == prefix)
+            self.alts.where(F.col("prefix") == prefix.lower())
         )
         return {r["identifier"]: list(r["alt_ids"]) for r in self._bounded_rows(df, "this mapping export")}
 
@@ -608,11 +587,7 @@ class OntologyCatalog:
 
     # ---- properties (api/properties.py) ----
     def get_properties_df(self, prefix: str) -> DataFrame:
-        obj = (
-            self.object_properties
-            if self.object_properties is not None
-            else self._empty_object_props()
-        )
+        obj = self.object_properties
         # per-prefix like the reference (api/properties.py): without this
         # filter a multi-ontology catalog would return every other
         # ontology's rows with unstripped CURIEs as identifiers
@@ -627,24 +602,14 @@ class OntologyCatalog:
     def get_literal_properties_df(self, prefix: str) -> DataFrame:
         """api/properties.py get_literal_properties_df — the literal
         (value-typed) property rows only."""
-        props = (
-            self.properties
-            if self.properties is not None
-            else self._empty_object_props_literal()
-        )
-        return props.where(
+        return self.properties.where(
             F.col("source_curie").startswith(f"{prefix.lower()}:")
         )
 
     def get_object_properties_df(self, prefix: str) -> DataFrame:
         """api/properties.py get_object_properties_df — the object
         (reference-typed) property rows only."""
-        props = (
-            self.object_properties
-            if self.object_properties is not None
-            else self._empty_object_props()
-        )
-        return props.where(
+        return self.object_properties.where(
             F.col("source_curie").startswith(f"{prefix.lower()}:")
         )
 
@@ -657,41 +622,55 @@ class OntologyCatalog:
             identifier
         )
 
+    def _my_properties(self, prefix: str) -> DataFrame:
+        """Rows of this prefix only — without the filter a multi-
+        ontology catalog leaks other ontologies' rows with unstripped
+        CURIE identifiers (same guard get_properties_df documents)."""
+        return self.properties.where(
+            F.col("source_curie").startswith(f"{prefix}:")
+        )
+
     def get_filtered_properties_mapping(
         self, prefix: str, prop: str
     ) -> dict[str, str]:
-        df = exports.filtered_properties_mapping(self.properties, prop, prefix)
+        p = prefix.lower()
+        df = exports.filtered_properties_mapping(
+            self._my_properties(p), prop, p
+        )
         return {r["identifier"]: r["value"] for r in self._bounded_rows(df, "this mapping export")}
 
     def get_filtered_properties_df(self, prefix: str, prop: str) -> DataFrame:
         """api/properties.py get_filtered_properties_df — the scalable
         DataFrame form of the filtered-properties mapping."""
+        p = prefix.lower()
         return exports.filtered_properties_mapping(
-            self.properties, prop, prefix.lower()
+            self._my_properties(p), prop, p
         )
 
     def get_filtered_properties_multimapping(
         self, prefix: str, prop: str
     ) -> dict[str, list[str]]:
         """api/properties.py get_filtered_properties_multimapping —
-        id → sorted value list."""
-        df = exports.filtered_properties_multimapping(
-            self.properties, prop, prefix.lower()
+        id → sorted value list. Array-valued aggregation end-to-end
+        (like get_id_synonyms_mapping): no delimiter round-trip, '|'
+        inside property values is safe."""
+        p = prefix.lower()
+        df = (
+            self._my_properties(p)
+            .where(F.col("predicate_curie") == prop)
+            .select(
+                F.regexp_replace("source_curie", f"^{p}:", "").alias(
+                    "identifier"
+                ),
+                "value",
+            )
+            .groupBy("identifier")
+            .agg(F.sort_array(F.collect_list("value")).alias("values"))
         )
         return {
-            r["identifier"]: r["values"].split("|") if r["values"] else []
+            r["identifier"]: list(r["values"])
             for r in self._bounded_rows(df, "this mapping export")
         }
-
-    def _empty_object_props(self) -> DataFrame:
-        from . import schemas
-
-        return self._spark.createDataFrame([], schemas.OBJECT_PROPERTIES)
-
-    def _empty_object_props_literal(self) -> DataFrame:
-        from . import schemas
-
-        return self._spark.createDataFrame([], schemas.LITERAL_PROPERTIES)
 
     # ---- hierarchy (api/hierarchy.py) ----
     def get_hierarchy(self, prefix: str, **kw) -> DataFrame:
@@ -715,13 +694,9 @@ class OntologyCatalog:
     ) -> DataFrame:
         """Node set of get_hierarchy with literal property values
         attached (api/hierarchy.py:106-109)."""
-        props = (
-            self.properties
-            if self.properties is not None
-            else self._empty_object_props_literal()
-        )
         return hierarchy.hierarchy_nodes(
-            self.terms, props, prefix, property_predicates=properties
+            self.terms, self.properties, prefix,
+            property_predicates=properties,
         )
 
     def get_text_embeddings_df(
@@ -882,22 +857,28 @@ class OntologyCatalog:
     ) -> DataFrame:
         """api/combine.py:19-39 get_literal_mappings_subset — literal
         mappings restricted to the descendant closures of the given
-        ancestor identifiers (left-semi join against the BFS closure,
-        ancestors included)."""
+        ancestor identifiers. Like the reference (get_descendants is
+        nx.ancestors on the reversed graph, api/hierarchy.py:148), the
+        ancestors THEMSELVES are excluded. Closure runs on full-CURIE
+        edge keys (bare locals collide across ontologies in a
+        multi-ontology catalog — hierarchy.curie_edges)."""
         from .operators import hierarchy as H
 
         anc = [ancestors] if isinstance(ancestors, str) else list(ancestors)
         p = prefix.lower()
-        closure = H.descendants(
-            self.parents.where(F.col("child_prefix") == p)
-        ).where(F.col("identifier").isin(anc))
-        members = closure.select(
-            F.col("descendant").alias("identifier")
-        ).union(
-            self._spark.createDataFrame(
-                [(a,) for a in anc], "identifier string"
+        anc_curies = [self._as_curie(p, a) for a in anc]
+        closure = H.descendants(H.curie_edges(self.parents, p)).where(
+            F.col("identifier").isin(anc_curies)
+        )
+        members = (
+            closure.where(F.col("descendant").startswith(f"{p}:"))
+            .select(
+                F.regexp_replace("descendant", f"^{p}:", "").alias(
+                    "identifier"
+                )
             )
-        ).distinct()
+            .distinct()
+        )
         return self.get_literal_mappings_df(p).join(
             members, on="identifier", how="left_semi"
         )

@@ -60,11 +60,7 @@ def _register_builtins() -> None:
     from .sources.hgnc_source import read_hgnc_json
     from .sources.special_streams import read_cid_name, read_gene_info
 
-    register_nomenclature_plugin(
-        "hgnc", lambda spark, path, spec=None: read_hgnc_json(
-            spark, path, spec
-        )
-    )
+    register_nomenclature_plugin("hgnc", read_hgnc_json)
     register_nomenclature_plugin(
         "ncbigene",
         lambda spark, path: {"terms": _names_as_terms(read_gene_info(spark, path))},

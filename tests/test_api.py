@@ -314,8 +314,9 @@ def test_filtered_properties_df_and_multimapping(spark):
 
 
 def test_literal_mappings_subset_api(spark, catalog):
-    """Subset form semi-joins against the descendant closure (ancestors
-    included) — api/combine.py:19-39."""
+    """Subset form semi-joins against the descendant closure — like the
+    reference (api/combine.py:19-39 via nx-descendants), the ancestors
+    themselves are excluded."""
     full = catalog.get_literal_mappings_df("fixo")
     roots = [
         r["parent"]
@@ -334,8 +335,9 @@ def test_literal_mappings_subset_api(spark, catalog):
         for r in H.descendants(catalog.parents)
         .where(F.col("identifier").isin(roots))
         .collect()
-    } | set(roots)
+    }
     assert ids <= closure
+    assert not (ids & set(roots))  # ancestors themselves excluded
 
 
 def test_nomenclature_plugins(spark, tmp_path):
