@@ -76,6 +76,88 @@ def from_obo_path(
     return catalog_from_obo(spark, [(name, text)])
 
 
+def build_ontology(
+    spark,
+    prefix: str,
+    *,
+    terms: list[dict] | None = None,
+    synonyms: list[dict] | None = None,
+    xrefs: list[dict] | None = None,
+    parents: list[dict] | None = None,
+    relations: list[dict] | None = None,
+    alts: list[dict] | None = None,
+    subsetdefs: dict[str, str] | None = None,
+    synonym_typedefs: list[dict] | None = None,
+    version: str | None = None,
+    date: str | None = None,
+) -> "OntologyCatalog":
+    """Build an ontology catalog from parts — the reference's
+    ``build_ontology`` (struct.py:2535-2618 assembles an ``Obo`` from
+    ``Term`` lists; here the parts are plain dicts keyed like the long
+    tables, and the result is a queryable catalog).
+
+    Minimal term dict: ``{"identifier": ..., "name": ...}``; optional
+    keys (definition, namespace, is_obsolete, species_id) default to
+    null/False. Synonym/xref/parent/relation/alt dicts follow the
+    canonical table columns, with ``prefix`` (and parents'
+    ``child_prefix``/``parent_prefix``) filled in automatically."""
+    from .sources.obo_reader import table_schemas
+
+    canon = table_schemas()
+    p = prefix.lower()
+
+    def _rows(items, schema_name, fill):
+        rows = []
+        for it in items or []:
+            d = dict(fill)
+            d.update(it)
+            rows.append(d)
+        schema = canon[schema_name]
+        if not rows:
+            return spark.createDataFrame([], schema)
+        return spark.createDataFrame(
+            [[r.get(f) for f in schema.fieldNames()] for r in rows], schema
+        )
+
+    tables = {
+        "terms": _rows(
+            terms, "terms",
+            {"prefix": p, "name": None, "definition": None,
+             "namespace": None, "is_obsolete": False, "species_id": None},
+        ),
+        "synonyms": _rows(
+            synonyms, "synonyms",
+            {"prefix": p, "predicate": "oboInOwl:hasExactSynonym",
+             "type": None, "provenance": None, "language": None},
+        ),
+        "xrefs": _rows(
+            xrefs, "xrefs",
+            {"prefix": p, "predicate": "oboInOwl:hasDbXref",
+             "provenance": None},
+        ),
+        "parents": _rows(
+            parents, "parents", {"child_prefix": p, "parent_prefix": p}
+        ),
+        "relations": _rows(relations, "relations", {"prefix": p}),
+        "alts": _rows(alts, "alts", {"prefix": p}),
+        "subsetdefs": _rows(
+            [
+                {"subset_curie": k, "comment": v}
+                for k, v in (subsetdefs or {}).items()
+            ],
+            "subsetdefs",
+            {"prefix": p},
+        ),
+        "synonym_typedefs": _rows(
+            synonym_typedefs, "synonym_typedefs", {"prefix": p}
+        ),
+        "metadata": _rows(
+            [{"version": version, "date": date}], "metadata", {"prefix": p}
+        ),
+    }
+    return OntologyCatalog(tables)
+
+
 def default_reference(
     prefix: str, identifier: str, name: str | None = None
 ) -> tuple[str, str]:

@@ -1554,9 +1554,11 @@ def q_span_pipeline(spark, sf_dir):
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing demo: synthesize binary media from doc text
     bytes, run the (stubbed) feature extractor. The feature vector is
-    comma-joined to a string (round 4) so downstream tabular harnesses
-    (pandas sort/hash canonicalizers choke on list cells) can handle it;
-    rows-only — the exact-valued oracle twin is `media_digest`."""
+    comma-joined to a string (round 4dp) so downstream tabular harnesses
+    (pandas sort/hash canonicalizers choke on list cells) can handle it
+    — which also makes it fully oracle-able: the stub features are
+    byte/255 doubles, bit-identical in both engines, and Spark round()
+    and DuckDB round() are both half-up."""
     from .operators import multimodal
 
     docs = tp.load(spark, sf_dir, "documents")
@@ -1660,6 +1662,20 @@ def q_media_digest(spark, sf_dir):
         ).alias("digest_hex"),
         "decode_status",
     )
+
+
+SQL_MEDIA_FEATURES = """
+SELECT concat('blob://', CAST(doc_id AS VARCHAR)) AS media_ref,
+       CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+       array_to_string(
+         list_transform(range(0, 8),
+           i -> CAST(round(
+                  CAST(('0x' || substr(sha256(text), 1 + 2*i, 2)) AS INTEGER)
+                  / 255.0, 4) AS VARCHAR)),
+         ',') AS feature_csv,
+       'ok_fake' AS decode_status
+FROM documents
+"""
 
 
 SQL_MEDIA_DIGEST = """
@@ -2199,6 +2215,7 @@ ORACLES: dict[str, str] = {
     "language_id": SQL_LANGUAGE_ID,
     "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
     "media_digest": SQL_MEDIA_DIGEST,
+    "media_features": SQL_MEDIA_FEATURES,
     "events_sessionize_native": SQL_EVENTS_SESSIONIZE_NATIVE,
     "typedefs": SQL_TYPEDEFS,
     "references": SQL_REFERENCES,

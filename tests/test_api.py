@@ -360,6 +360,42 @@ def test_nomenclature_plugins(spark, tmp_path):
         P.run_nomenclature_plugin(spark, "nosuch")
 
 
+def test_build_ontology(spark):
+    """Programmatic ontology assembly — reference build_ontology
+    (struct.py:2535): parts in, full queryable catalog out."""
+    from pyobo_spark.api import build_ontology
+
+    cat = build_ontology(
+        spark,
+        "DEMO",
+        terms=[
+            {"identifier": "1", "name": "root"},
+            {"identifier": "2", "name": "child",
+             "definition": "a child term"},
+            {"identifier": "3", "name": "old", "is_obsolete": True},
+        ],
+        synonyms=[{"identifier": "2", "text": "kid"}],
+        xrefs=[{"identifier": "1", "target_prefix": "mesh",
+                "target_id": "D1"}],
+        parents=[{"child": "2", "parent": "1"}],
+        alts=[{"identifier": "1", "alt_id": "9"}],
+        subsetdefs={"demo:slim": "the slim"},
+        version="1.2.3",
+    )
+    assert cat.get_id_name_mapping("demo") == {
+        "1": "root", "2": "child", "3": "old"
+    }
+    assert cat.get_definition("demo", "2") == "a child term"
+    assert cat.get_obsolete("demo") == {"3"}
+    assert cat.get_synonyms("demo", "2") == ["kid"]
+    assert cat.get_filtered_xrefs("demo", "mesh") == {"1": "D1"}
+    assert cat.get_ancestors("demo", "2") == {"demo:1"}
+    assert cat.get_primary_identifier("demo", "9") == "1"
+    assert cat.get_subsetdefs("demo") == {"demo:slim": "the slim"}
+    assert cat.get_version("demo") == "1.2.3"
+    assert cat.ground("demo", "kid") == "demo:2"
+
+
 def test_from_obo_path(spark, tmp_path):
     from pyobo_spark.api import from_obo_path
 
