@@ -396,6 +396,40 @@ def test_build_ontology(spark):
     assert cat.ground("demo", "kid") == "demo:2"
 
 
+def test_build_ontology_obo_roundtrip(spark):
+    """build_ontology → OBO serialization → reparse → identical
+    lookups: the authoring path feeds the same writer/reader pair as
+    file-loaded ontologies."""
+    from pyobo_spark.api import build_ontology, catalog_from_obo
+    from pyobo_spark.operators import obo_writer
+
+    cat = build_ontology(
+        spark,
+        "demo",
+        terms=[
+            {"identifier": "1", "name": "root"},
+            {"identifier": "2", "name": "child",
+             "definition": "a child term"},
+        ],
+        synonyms=[{"identifier": "2", "text": "kid"}],
+        xrefs=[{"identifier": "1", "target_prefix": "mesh",
+                "target_id": "D1"}],
+        parents=[{"child": "2", "parent": "1"}],
+        alts=[{"identifier": "1", "alt_id": "9"}],
+    )
+    stanzas = obo_writer.obo_stanzas(
+        cat.terms, cat.synonyms, cat.xrefs, cat.relations, cat.parents,
+        cat.alts, "demo",
+    )
+    text = obo_writer.obo_document(stanzas, "demo")
+    back = catalog_from_obo(spark, [("demo", text)])
+    assert back.get_id_name_mapping("demo") == cat.get_id_name_mapping("demo")
+    assert back.get_synonyms("demo", "2") == ["kid"]
+    assert back.get_ancestors("demo", "2") == {"demo:1"}
+    assert back.get_primary_identifier("demo", "9") == "1"
+    assert back.get_filtered_xrefs("demo", "mesh") == {"1": "D1"}
+
+
 def test_from_obo_path(spark, tmp_path):
     from pyobo_spark.api import from_obo_path
 
