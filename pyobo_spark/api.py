@@ -107,16 +107,23 @@ def build_ontology(
     p = prefix.lower()
 
     def _rows(items, schema_name, fill):
+        schema = canon[schema_name]
+        fields = schema.fieldNames()
         rows = []
         for it in items or []:
+            unknown = set(it) - set(fields)
+            if unknown:  # fail loud — a typo'd key would otherwise
+                raise ValueError(  # silently yield null-field rows
+                    f"unknown {schema_name} field(s) {sorted(unknown)}; "
+                    f"valid: {fields}"
+                )
             d = dict(fill)
             d.update(it)
             rows.append(d)
-        schema = canon[schema_name]
         if not rows:
             return spark.createDataFrame([], schema)
         return spark.createDataFrame(
-            [[r.get(f) for f in schema.fieldNames()] for r in rows], schema
+            [[r.get(f) for f in fields] for r in rows], schema
         )
 
     tables = {

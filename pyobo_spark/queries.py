@@ -1556,9 +1556,11 @@ def q_media_features(spark, sf_dir):
     bytes, run the (stubbed) feature extractor. The feature vector is
     comma-joined to a string (round 4dp) so downstream tabular harnesses
     (pandas sort/hash canonicalizers choke on list cells) can handle it
-    — which also makes it fully oracle-able: the stub features are
-    byte/255 doubles, bit-identical in both engines, and Spark round()
-    and DuckDB round() are both half-up."""
+    — which also makes it fully oracle-able: Spark stores the stub
+    features as float32 while DuckDB computes byte/255 doubles, but
+    round(·, 4) absorbs the quantization (byte/255 values sit ≥4.9e-7
+    from any 4dp rounding tie vs ≤6e-8 float32 error) and both engines
+    round half-up. Null text maps to ('', 'missing') on both sides."""
     from .operators import multimodal
 
     docs = tp.load(spark, sf_dir, "documents")
@@ -1667,13 +1669,14 @@ def q_media_digest(spark, sf_dir):
 SQL_MEDIA_FEATURES = """
 SELECT concat('blob://', CAST(doc_id AS VARCHAR)) AS media_ref,
        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-       array_to_string(
+       CASE WHEN text IS NULL THEN '' ELSE array_to_string(
          list_transform(range(0, 8),
            i -> CAST(round(
                   CAST(('0x' || substr(sha256(text), 1 + 2*i, 2)) AS INTEGER)
                   / 255.0, 4) AS VARCHAR)),
-         ',') AS feature_csv,
-       'ok_fake' AS decode_status
+         ',') END AS feature_csv,
+       CASE WHEN text IS NULL THEN 'missing' ELSE 'ok_fake' END
+         AS decode_status
 FROM documents
 """
 
@@ -1681,8 +1684,10 @@ FROM documents
 SQL_MEDIA_DIGEST = """
 SELECT concat('blob://', CAST(doc_id AS VARCHAR)) AS media_ref,
        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-       substr(sha256(text), 1, 16) AS digest_hex,
-       'ok_fake' AS decode_status
+       CASE WHEN text IS NULL THEN ''
+            ELSE substr(sha256(text), 1, 16) END AS digest_hex,
+       CASE WHEN text IS NULL THEN 'missing' ELSE 'ok_fake' END
+         AS decode_status
 FROM documents
 """
 
@@ -2129,6 +2134,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # session). The rows-only hash-family queries live here: their
     # organic outputs are engine-specific (xxhash64), and each kernel
     # has a driver-green planted-twin oracle in the window above.
+    # (media_features is oracle-backed as of r04 — its CSV-string
+    # output compares exactly — it just sits below the window.)
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash": q_simhash,
     "media_features": q_media_features,

@@ -394,6 +394,11 @@ def test_build_ontology(spark):
     assert cat.get_subsetdefs("demo") == {"demo:slim": "the slim"}
     assert cat.get_version("demo") == "1.2.3"
     assert cat.ground("demo", "kid") == "demo:2"
+    # typo'd field names fail loud, not as silent null-field rows
+    with pytest.raises(ValueError, match="identifer"):
+        build_ontology(
+            spark, "demo", terms=[{"identifer": "1", "name": "x"}]
+        )
 
 
 def test_build_ontology_obo_roundtrip(spark):
