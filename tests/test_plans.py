@@ -134,3 +134,52 @@ def test_nearest_terms_broadcasts_query_side(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_embedding_model_path_is_map_only(spark):
+    """Round-4 real-model embedding path: one mapInPandas stage, no
+    shuffle — at corpus scale the encoder call must never force an
+    Exchange."""
+    import numpy as np
+
+    from pyobo_spark.operators import embeddings as E
+
+    terms = spark.createDataFrame(
+        [("p", "1", "alpha")], "prefix string, identifier string, name string"
+    )
+    plan = _formatted_plan(
+        E.term_embeddings(terms, dim=4, model=lambda ts: np.zeros((len(ts), 4)))
+    )
+    assert "Exchange" not in plan
+
+
+def test_media_decode_paths_are_map_only(spark):
+    """Both decode paths (fake digest / real numpy decoder) stay
+    shuffle-free."""
+    from pyobo_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [("m", "image", bytearray(b"x"), None, None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    for fake in (True, False):
+        plan = _formatted_plan(
+            multimodal.extract_media_features(media, dim=4, fake_decode=fake)
+        )
+        assert "Exchange" not in plan
+
+
+def test_special_stream_union_has_no_exchange(spark, tmp_path):
+    """names + special streams is a pure unionByName — each input keeps
+    its own scan parallelism; no shuffle."""
+    from pyobo_spark.sources import special_streams as ss
+
+    gi = tmp_path / "g.tsv"
+    gi.write_text("#h\n9606\t1\tA1BG\t-\n")
+    names = spark.createDataFrame(
+        [("p", "1", "n")], "prefix string, identifier string, name string"
+    )
+    plan = _formatted_plan(
+        ss.names_with_special_streams(names, [ss.read_gene_info(spark, str(gi))])
+    )
+    assert "Exchange" not in plan
