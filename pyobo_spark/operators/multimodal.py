@@ -82,6 +82,11 @@ def _real_decode(kind: str, content: bytes):
             fields.append(int(content[start:pos]))
         pos += 1  # single whitespace after maxval
         w, h, maxval = fields
+        if w <= 0 or h <= 0 or maxval <= 0:
+            # without this, numpy treats h=-1 as an inferred reshape
+            # dim and a negative frombuffer count as read-all — the
+            # row would decode 'ok' with nonsense features
+            raise ValueError(f"bad PPM header dims {w}x{h} max={maxval}")
         if maxval > 255:
             raise UnsupportedMediaError("16-bit PPM not supported")
         raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3,

@@ -161,4 +161,11 @@ def test_decoder_never_hangs_or_corrupts_status(blob):
     except Exception:
         pass  # any exception is caught per-row by extract_media_features
     else:
-        assert hasattr(out, "shape") and isinstance(meta, dict)
+        # a successful decode must be WELL-FORMED, not just truthy:
+        # positive dims and a raster consistent with the header
+        if out.ndim == 3:  # image
+            h, w, c = out.shape
+            assert h > 0 and w > 0 and c == 3
+            assert meta["width"] == w and meta["height"] == h
+        else:  # audio
+            assert out.ndim == 1 and meta["sample_rate"] > 0
