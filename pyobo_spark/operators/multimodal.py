@@ -219,6 +219,74 @@ def extract_media_features(
     )
 
 
+#: magic-byte → mime sniffing table (first-match wins); covers the
+#: decodable containers plus common compressed formats we can at least
+#: LABEL even though decode is unsupported in this environment
+_MAGIC_MIME: tuple[tuple[bytes, str], ...] = (
+    (b"P6", "image/x-portable-pixmap"),
+    (b"RIFF", "audio/wav"),  # refined to WAVE check below
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"\x89PNG", "image/png"),
+    (b"GIF8", "image/gif"),
+    (b"ID3", "audio/mpeg"),
+    (b"OggS", "audio/ogg"),
+)
+
+
+def probe_media_metadata(media: DataFrame) -> DataFrame:
+    """Backfill the typed metadata columns (mime, width, height,
+    duration_ms) from the binary content: magic-byte mime sniffing for
+    every known container, plus real dimensions/duration for the
+    containers the minimal decoder can parse (PPM, PCM WAV). Existing
+    non-null metadata is preserved; unknown or corrupt payloads keep
+    null metadata with mime 'application/octet-stream' / null. Map-only
+    (mapInPandas), per-row degrade — a bad asset never fails the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mimes, widths, heights, durations = [], [], [], []
+            for kind, content, mime0, w0, h0, d0 in zip(
+                pdf["kind"], pdf["content"], pdf["mime"], pdf["width"],
+                pdf["height"], pdf["duration_ms"],
+            ):
+                # Arrow hands nullable ints to pandas as NaN floats —
+                # normalize to None/int before the is-None fill logic
+                _nn = lambda x: None if pd.isna(x) else int(x)  # noqa: E731
+                mime = None if pd.isna(mime0) else mime0
+                w, h, dur = _nn(w0), _nn(h0), _nn(d0)
+                if content is not None:
+                    b = bytes(content)
+                    if mime is None:
+                        for magic, m in _MAGIC_MIME:
+                            if b.startswith(magic):
+                                if magic == b"RIFF" and b[8:12] != b"WAVE":
+                                    continue
+                                mime = m
+                                break
+                        else:
+                            mime = "application/octet-stream"
+                    if w is None and h is None and dur is None:
+                        try:
+                            _, meta = _real_decode(kind, b)
+                            w = meta.get("width", w)
+                            h = meta.get("height", h)
+                            dur = meta.get("duration_ms", dur)
+                        except Exception:  # noqa: BLE001 per-row degrade
+                            pass
+                mimes.append(mime)
+                widths.append(w)
+                heights.append(h)
+                durations.append(dur)
+            out = pdf.copy()
+            out["mime"] = mimes
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["height"] = pd.array(heights, dtype="Int32")
+            out["duration_ms"] = pd.array(durations, dtype="Int32")
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN (timestamps only — decode stubbed):
     one row per sampled frame, JVM-side sequence expansion."""

@@ -1666,6 +1666,49 @@ def q_media_digest(spark, sf_dir):
     )
 
 
+def q_media_metadata(spark, sf_dir):
+    """Metadata backfill through the real decoder: even doc_ids carry a
+    decodable 1x1 PPM payload (probe fills mime + real dimensions), odd
+    doc_ids a JPEG-magic payload (sniff labels the mime, decode is
+    unsupported → dims stay null). Exercises probe_media_metadata's
+    full distributed path against constants DuckDB can state."""
+    from .operators import multimodal
+
+    docs = tp.load(spark, sf_dir, "documents")
+    ppm = F.concat(
+        F.lit(bytearray(b"P6\n1 1\n255\n")), F.encode(F.lit("abc"), "utf-8")
+    )
+    jpg = F.concat(
+        F.lit(bytearray(b"\xff\xd8\xff")), F.encode("text", "utf-8")
+    )
+    media = docs.select(
+        F.concat(F.lit("blob://"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.lit("image").alias("kind"),
+        F.when(F.col("doc_id") % 2 == 0, ppm).otherwise(jpg).alias("content"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return multimodal.probe_media_metadata(media).select(
+        "media_ref", "kind", "mime", "width", "height", "duration_ms"
+    )
+
+
+SQL_MEDIA_METADATA = """
+SELECT concat('blob://', CAST(doc_id AS VARCHAR)) AS media_ref,
+       'image' AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/x-portable-pixmap'
+            ELSE 'image/jpeg' END AS mime,
+       CASE WHEN doc_id % 2 = 0 THEN 1 END AS width,
+       CASE WHEN doc_id % 2 = 0 THEN 1 END AS height,
+       CAST(NULL AS INTEGER) AS duration_ms
+FROM documents
+"""
+
+
 SQL_MEDIA_FEATURES = """
 SELECT concat('blob://', CAST(doc_id AS VARCHAR)) AS media_ref,
        CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
@@ -2139,6 +2182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash": q_simhash,
     "media_features": q_media_features,
+    "media_metadata": q_media_metadata,
     "rollup_counts": q_rollup_counts,
     "descendants": q_descendants,
     "has_ancestor": q_has_ancestor,
@@ -2223,6 +2267,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_planted": SQL_NGRAM_JACCARD_PLANTED,
     "media_digest": SQL_MEDIA_DIGEST,
     "media_features": SQL_MEDIA_FEATURES,
+    "media_metadata": SQL_MEDIA_METADATA,
     "events_sessionize_native": SQL_EVENTS_SESSIONIZE_NATIVE,
     "typedefs": SQL_TYPEDEFS,
     "references": SQL_REFERENCES,

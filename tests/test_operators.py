@@ -291,6 +291,41 @@ def test_media_corrupt_payloads_degrade(spark):
     assert rows["ok"]["decode_status"] == "ok"  # good rows unaffected
 
 
+def test_probe_media_metadata(spark):
+    """Metadata backfill: magic-sniffed mime for every container,
+    real dims/duration for decodable ones, existing values preserved,
+    corrupt/unknown payloads degrade to null metadata."""
+    media = spark.createDataFrame(
+        [
+            ("ppm", "image", bytearray(_ppm_bytes()), None, None, None, None),
+            ("wav", "audio", bytearray(_wav_bytes()), None, None, None, None),
+            ("jpg", "image", bytearray(b"\xff\xd8\xff\xe0junk"), None,
+             None, None, None),
+            ("pre", "image", bytearray(_ppm_bytes()), "image/custom",
+             99, 98, None),
+            ("unk", "image", bytearray(b"????"), None, None, None, None),
+            ("nil", "image", None, None, None, None, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_ref"]: r
+        for r in multimodal.probe_media_metadata(media).collect()
+    }
+    assert rows["ppm"]["mime"] == "image/x-portable-pixmap"
+    assert (rows["ppm"]["width"], rows["ppm"]["height"]) == (4, 2)
+    assert rows["wav"]["mime"] == "audio/wav"
+    assert rows["wav"]["duration_ms"] == 100
+    # compressed containers get labeled even though decode is oos
+    assert rows["jpg"]["mime"] == "image/jpeg"
+    assert rows["jpg"]["width"] is None
+    # pre-set metadata survives untouched
+    assert rows["pre"]["mime"] == "image/custom"
+    assert (rows["pre"]["width"], rows["pre"]["height"]) == (99, 98)
+    assert rows["unk"]["mime"] == "application/octet-stream"
+    assert rows["nil"]["mime"] is None
+
+
 def test_frame_sample_plan(spark):
     media = spark.createDataFrame(
         [("v1", "video", None, None, None, None, 3500)],
