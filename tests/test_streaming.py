@@ -226,3 +226,44 @@ def test_streaming_exact_dedup_watermarked(spark, tmp_path):
     texts = [r["text"] for r in out.collect()]
     assert sorted(set(texts)) == ["other text", "same text"]
     assert len(texts) == 2
+
+
+def test_streaming_media_features_resume(spark, tmp_path):
+    """Streaming media stage (availableNow): features + sniffed
+    metadata per asset; checkpoint resume processes only new files."""
+    from pyobo_spark.operators import multimodal
+    from pyobo_spark.streaming.media import stream_media_features
+    from tests.test_operators import _ppm_bytes, _wav_bytes
+
+    in_dir = str(tmp_path / "media_in")
+    out_dir = str(tmp_path / "media_out")
+    ckpt = str(tmp_path / "media_ckpt")
+
+    spark.createDataFrame(
+        [("ppm1", "image", bytearray(_ppm_bytes()), None, None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    ).write.mode("append").parquet(in_dir)
+    stream_media_features(
+        spark, in_dir, ckpt, out_dir, dim=4, fake_decode=False
+    )
+    first = {r["media_ref"]: r for r in spark.read.parquet(out_dir).collect()}
+    assert first["ppm1"]["decode_status"] == "ok"
+    assert first["ppm1"]["mime"] == "image/x-portable-pixmap"
+    assert (first["ppm1"]["width"], first["ppm1"]["height"]) == (4, 2)
+    assert len(first["ppm1"]["feature"]) == 4
+
+    # new asset arrives; resume processes ONLY it
+    spark.createDataFrame(
+        [("wav1", "audio", bytearray(_wav_bytes()), None, None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    ).write.mode("append").parquet(in_dir)
+    stream_media_features(
+        spark, in_dir, ckpt, out_dir, dim=4, fake_decode=False
+    )
+    out = spark.read.parquet(out_dir)
+    rows = {r["media_ref"]: r for r in out.collect()}
+    assert set(rows) == {"ppm1", "wav1"}
+    assert rows["wav1"]["mime"] == "audio/wav"
+    assert rows["wav1"]["duration_ms"] == 100
+    # ppm1 appears exactly once → no reprocessing on resume
+    assert out.where("media_ref = 'ppm1'").count() == 1
