@@ -2,7 +2,8 @@
 with typed metadata. Two decode paths: the default deterministic fake
 (sha256 digest features — fully testable without codec libs) and a
 working minimal pure-numpy decoder for uncompressed containers (binary
-PPM images, PCM WAV audio); compressed formats (JPEG/PNG/MP3/MP4) need
+PPM images, PCM WAV audio, CSV tables); compressed formats
+(JPEG/PNG/MP3/MP4) need
 codec libraries not in this container and surface as
 decode_status='unsupported' rather than task failures. The Spark-side
 plumbing (schema, partitioning, Arrow batch shape, UDF signatures) is
@@ -53,17 +54,38 @@ class UnsupportedMediaError(NotImplementedError):
 
 
 def _real_decode(kind: str, content: bytes):
-    """Minimal pure-numpy decoder for two uncompressed container
-    formats — binary PPM (P6) images and PCM WAV audio — so the
-    non-fake decode path is a working kernel, not a stub. Returns
-    ``(samples: np.ndarray, meta: dict)``: for images an (h, w, 3)
-    uint8 array with width/height meta; for audio a float array in
-    [-1, 1] with sample_rate/duration_ms meta. Anything else raises
-    :class:`UnsupportedMediaError` (the row gets decode_status
-    'unsupported', it never kills the job)."""
+    """Minimal pure-numpy decoder for three uncompressed container
+    formats — binary PPM (P6) images, PCM WAV audio, and CSV tables
+    (kind='table') — so the non-fake decode path is a working kernel,
+    not a stub. Returns ``(samples: np.ndarray, meta: dict)``: images
+    an (h, w, 3) uint8 array with width/height meta; audio a float
+    array in [-1, 1] with sample_rate/duration_ms meta; tables a 2-D
+    object cell array with width(cols)/height(rows) meta. Anything
+    else raises :class:`UnsupportedMediaError` (the row gets
+    decode_status 'unsupported', it never kills the job)."""
     import struct
 
     import numpy as np
+
+    if kind == "table":
+        # CSV-in-binary (the MEDIA_SCHEMA 'table' kind): cells as a 2-D
+        # object array, dims in width(cols)/height(rows) terms so the
+        # metadata probe fills the same columns as images
+        import csv
+        import io
+
+        try:
+            text = content.decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise UnsupportedMediaError(f"table payload not UTF-8: {e}")
+        rows = [r for r in csv.reader(io.StringIO(text)) if r]
+        if not rows:
+            raise ValueError("empty table payload")
+        n_cols = max(len(r) for r in rows)
+        cells = np.array(
+            [r + [""] * (n_cols - len(r)) for r in rows], dtype=object
+        )
+        return cells, {"width": n_cols, "height": len(rows)}
 
     if content[:2] == b"P6":
         # PPM: "P6\n<w> <h>\n<maxval>\n" then w*h*3 raw bytes.
@@ -140,11 +162,25 @@ def _real_decode(kind: str, content: bytes):
 
 def _real_features(kind: str, content: bytes, dim: int):
     """Feature vector from the minimal decoder: images → per-channel
-    mean/std + aspect; audio → RMS/peak/zero-crossing-rate/duration.
-    Zero-padded/truncated to ``dim`` so the schema matches the fake
-    path."""
+    mean/std + aspect; audio → RMS/peak/zero-crossing-rate/duration;
+    tables → rows/cols/numeric-ratio/numeric-mean. Zero-padded/
+    truncated to ``dim`` so the schema matches the fake path."""
     samples, meta = _real_decode(kind, content)
-    if samples.ndim == 3:  # image (h, w, 3)
+    if samples.ndim == 2 and samples.dtype == object:  # table cells
+        cells = [c for row in samples for c in row]
+        numeric = []
+        for c in cells:
+            try:
+                numeric.append(float(c))
+            except (TypeError, ValueError):
+                pass
+        feats = [
+            float(meta["height"]),  # rows
+            float(meta["width"]),   # cols
+            len(numeric) / max(len(cells), 1),
+            sum(numeric) / len(numeric) if numeric else 0.0,
+        ]
+    elif samples.ndim == 3:  # image (h, w, 3)
         px = samples.astype("float64") / 255.0
         feats = [
             *px.mean(axis=(0, 1)),
@@ -257,20 +293,34 @@ def probe_media_metadata(media: DataFrame) -> DataFrame:
                 if content is not None:
                     b = bytes(content)
                     if mime is None:
-                        for magic, m in _MAGIC_MIME:
-                            if b.startswith(magic):
-                                if magic == b"RIFF" and b[8:12] != b"WAVE":
-                                    continue
-                                mime = m
-                                break
-                        else:
+                        if kind == "table":
+                            # table payloads are text — a CSV whose
+                            # first cell is 'P6'/'RIFF' must not be
+                            # magic-sniffed as an image/audio container
                             mime = "application/octet-stream"
+                        else:
+                            for magic, m in _MAGIC_MIME:
+                                if b.startswith(magic):
+                                    if (
+                                        magic == b"RIFF"
+                                        and b[8:12] != b"WAVE"
+                                    ):
+                                        continue
+                                    mime = m
+                                    break
+                            else:
+                                mime = "application/octet-stream"
                     if w is None and h is None and dur is None:
                         try:
                             _, meta = _real_decode(kind, b)
                             w = meta.get("width", w)
                             h = meta.get("height", h)
                             dur = meta.get("duration_ms", dur)
+                            if (
+                                kind == "table"
+                                and mime == "application/octet-stream"
+                            ):  # CSV has no magic; label on decode success
+                                mime = "text/csv"
                         except Exception:  # noqa: BLE001 per-row degrade
                             pass
                 mimes.append(mime)

@@ -334,3 +334,39 @@ def test_frame_sample_plan(spark):
     ts = [r["frame_ts_ms"] for r in
           multimodal.frame_sample_plan(media, every_ms=1000).collect()]
     assert ts == [0, 1000, 2000, 3000]
+
+
+def test_media_table_decode(spark):
+    """kind='table' CSV payloads decode to cell grids with dims in the
+    image-compatible width/height terms; features carry rows/cols/
+    numeric stats; a CSV starting with 'P6' is still a table."""
+    csv_blob = b"P6,name,score\n1,a,0.5\n2,b,1.5\n"
+    cells, meta = multimodal._real_decode("table", csv_blob)
+    assert meta == {"width": 3, "height": 3}
+    assert cells[1][1] == "a"
+    media = spark.createDataFrame(
+        [
+            ("t1", "table", bytearray(csv_blob), None, None, None, None),
+            ("t2", "table", bytearray(b"\xff\xfebad"), None, None, None,
+             None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_ref"]: r
+        for r in multimodal.extract_media_features(
+            media, dim=4, fake_decode=False
+        ).collect()
+    }
+    assert rows["t1"]["decode_status"] == "ok"
+    f = rows["t1"]["feature"]
+    assert (f[0], f[1]) == (3.0, 3.0)          # rows, cols
+    assert abs(f[2] - 4 / 9) < 1e-6            # numeric-cell ratio
+    assert abs(f[3] - (1 + 2 + 0.5 + 1.5) / 4) < 1e-6
+    assert rows["t2"]["decode_status"] == "unsupported"  # not UTF-8
+    meta_rows = {
+        r["media_ref"]: r
+        for r in multimodal.probe_media_metadata(media).collect()
+    }
+    assert (meta_rows["t1"]["width"], meta_rows["t1"]["height"]) == (3, 3)
+    assert meta_rows["t1"]["mime"] == "text/csv"  # labeled on decode
