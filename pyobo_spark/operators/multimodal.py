@@ -53,6 +53,85 @@ class UnsupportedMediaError(NotImplementedError):
     (JPEG/PNG/MP3/MP4 need codec libraries not in this environment)."""
 
 
+def _parse_ppm_header(content: bytes):
+    """Header-only PPM parse: (w, h, maxval, raster_offset). Tokens may
+    be separated by any whitespace/comments. Shared by the full decoder
+    and the metadata probe (which must not touch the raster)."""
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(content) and content[pos : pos + 1].isspace():
+            pos += 1
+        if content[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(content) and content[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(content) and not content[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(content[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if w <= 0 or h <= 0 or maxval <= 0:
+        # without this, numpy treats h=-1 as an inferred reshape dim and
+        # a negative frombuffer count as read-all — the row would decode
+        # 'ok' with nonsense features
+        raise ValueError(f"bad PPM header dims {w}x{h} max={maxval}")
+    if maxval > 255:
+        raise UnsupportedMediaError("16-bit PPM not supported")
+    return w, h, maxval, pos
+
+
+def _parse_wav_chunks(content: bytes):
+    """RIFF chunk walk: (fmt tuple, data bytes) for PCM WAV. Shared by
+    the full decoder and the metadata probe (which needs only fmt +
+    data LENGTH, never the converted samples)."""
+    import struct
+
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack(
+            "<I", content[pos + 4 : pos + 8]
+        )[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise UnsupportedMediaError("WAV missing fmt/data chunk")
+    audio_fmt, _, _, _, _, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise UnsupportedMediaError(
+            f"only 8/16-bit PCM WAV supported (fmt={audio_fmt}, "
+            f"bits={bits})"
+        )
+    return fmt, data
+
+
+def _probe_meta(kind: str, content: bytes) -> dict:
+    """Header-only metadata: dims/duration WITHOUT materializing pixels
+    or samples — at blob-store scale a metadata sweep must not pay the
+    full-decode CPU. Tables have no header shortcut (the CSV parse IS
+    the dimension computation), so they fall through to the decoder."""
+    if kind == "table":
+        _, meta = _real_decode(kind, content)
+        return meta
+    if content[:2] == b"P6":
+        w, h, _, pos = _parse_ppm_header(content)
+        if len(content) - pos < w * h * 3:
+            raise ValueError("PPM raster shorter than header promises")
+        return {"width": w, "height": h}
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        (_, n_ch, rate, _, _, bits), data = _parse_wav_chunks(content)
+        n_frames = len(data) // ((bits // 8) * n_ch)
+        return {
+            "sample_rate": rate,
+            "duration_ms": int(n_frames * 1000 / rate) if rate else 0,
+        }
+    raise UnsupportedMediaError(f"no header parser for this {kind} payload")
+
+
 def _real_decode(kind: str, content: bytes):
     """Minimal pure-numpy decoder for three uncompressed container
     formats — binary PPM (P6) images, PCM WAV audio, and CSV tables
@@ -88,54 +167,15 @@ def _real_decode(kind: str, content: bytes):
         return cells, {"width": n_cols, "height": len(rows)}
 
     if content[:2] == b"P6":
-        # PPM: "P6\n<w> <h>\n<maxval>\n" then w*h*3 raw bytes.
-        # Header tokens may be separated by any whitespace/comments.
-        pos, fields = 2, []
-        while len(fields) < 3:
-            while pos < len(content) and content[pos : pos + 1].isspace():
-                pos += 1
-            if content[pos : pos + 1] == b"#":  # comment to EOL
-                while pos < len(content) and content[pos : pos + 1] != b"\n":
-                    pos += 1
-                continue
-            start = pos
-            while pos < len(content) and not content[pos : pos + 1].isspace():
-                pos += 1
-            fields.append(int(content[start:pos]))
-        pos += 1  # single whitespace after maxval
-        w, h, maxval = fields
-        if w <= 0 or h <= 0 or maxval <= 0:
-            # without this, numpy treats h=-1 as an inferred reshape
-            # dim and a negative frombuffer count as read-all — the
-            # row would decode 'ok' with nonsense features
-            raise ValueError(f"bad PPM header dims {w}x{h} max={maxval}")
-        if maxval > 255:
-            raise UnsupportedMediaError("16-bit PPM not supported")
+        w, h, maxval, pos = _parse_ppm_header(content)
         raster = np.frombuffer(content, dtype=np.uint8, count=w * h * 3,
                                offset=pos)
         return raster.reshape(h, w, 3), {"width": w, "height": h}
 
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
-        # WAV: walk RIFF chunks for fmt (PCM only) + data.
-        pos, fmt, data = 12, None, None
-        while pos + 8 <= len(content):
-            cid, size = content[pos : pos + 4], struct.unpack(
-                "<I", content[pos + 4 : pos + 8]
-            )[0]
-            body = content[pos + 8 : pos + 8 + size]
-            if cid == b"fmt ":
-                fmt = struct.unpack("<HHIIHH", body[:16])
-            elif cid == b"data":
-                data = body
-            pos += 8 + size + (size & 1)
-        if fmt is None or data is None:
-            raise UnsupportedMediaError("WAV missing fmt/data chunk")
-        audio_fmt, n_ch, rate, _, _, bits = fmt
-        if audio_fmt != 1 or bits not in (8, 16):
-            raise UnsupportedMediaError(
-                f"only 8/16-bit PCM WAV supported (fmt={audio_fmt}, "
-                f"bits={bits})"
-            )
+        (audio_fmt, n_ch, rate, _, _, bits), data = _parse_wav_chunks(
+            content
+        )
         if bits == 16:
             samples = (
                 np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
@@ -168,12 +208,16 @@ def _real_features(kind: str, content: bytes, dim: int):
     samples, meta = _real_decode(kind, content)
     if samples.ndim == 2 and samples.dtype == object:  # table cells
         cells = [c for row in samples for c in row]
+        import math
+
         numeric = []
         for c in cells:
             try:
-                numeric.append(float(c))
+                v = float(c)
             except (TypeError, ValueError):
-                pass
+                continue
+            if math.isfinite(v):  # 'nan'/'inf' cells must not poison
+                numeric.append(v)  # the feature vector of an 'ok' row
         feats = [
             float(meta["height"]),  # rows
             float(meta["width"]),   # cols
@@ -292,12 +336,29 @@ def probe_media_metadata(media: DataFrame) -> DataFrame:
                 w, h, dur = _nn(w0), _nn(h0), _nn(d0)
                 if content is not None:
                     b = bytes(content)
+                    # header-only probe whenever ANY metadata field is
+                    # still null (partial rows get their remaining
+                    # nulls filled; pre-set values are never replaced)
+                    meta: dict = {}
+                    if (
+                        w is None or h is None or dur is None
+                        or (kind == "table" and mime is None)
+                    ):
+                        try:
+                            meta = _probe_meta(kind, b)
+                        except Exception:  # noqa: BLE001 per-row degrade
+                            meta = {}
                     if mime is None:
                         if kind == "table":
                             # table payloads are text — a CSV whose
                             # first cell is 'P6'/'RIFF' must not be
-                            # magic-sniffed as an image/audio container
-                            mime = "application/octet-stream"
+                            # magic-sniffed as an image/audio container;
+                            # a parseable one is labeled by its decode
+                            mime = (
+                                "text/csv"
+                                if meta
+                                else "application/octet-stream"
+                            )
                         else:
                             for magic, m in _MAGIC_MIME:
                                 if b.startswith(magic):
@@ -310,19 +371,12 @@ def probe_media_metadata(media: DataFrame) -> DataFrame:
                                     break
                             else:
                                 mime = "application/octet-stream"
-                    if w is None and h is None and dur is None:
-                        try:
-                            _, meta = _real_decode(kind, b)
-                            w = meta.get("width", w)
-                            h = meta.get("height", h)
-                            dur = meta.get("duration_ms", dur)
-                            if (
-                                kind == "table"
-                                and mime == "application/octet-stream"
-                            ):  # CSV has no magic; label on decode success
-                                mime = "text/csv"
-                        except Exception:  # noqa: BLE001 per-row degrade
-                            pass
+                    if w is None:
+                        w = meta.get("width")
+                    if h is None:
+                        h = meta.get("height")
+                    if dur is None:
+                        dur = meta.get("duration_ms")
                 mimes.append(mime)
                 widths.append(w)
                 heights.append(h)

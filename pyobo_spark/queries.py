@@ -1701,7 +1701,8 @@ SQL_MEDIA_METADATA = """
 SELECT concat('blob://', CAST(doc_id AS VARCHAR)) AS media_ref,
        'image' AS kind,
        CASE WHEN doc_id % 2 = 0 THEN 'image/x-portable-pixmap'
-            ELSE 'image/jpeg' END AS mime,
+            WHEN text IS NULL THEN NULL          -- concat(magic, NULL)
+            ELSE 'image/jpeg' END AS mime,       -- gives NULL content
        CASE WHEN doc_id % 2 = 0 THEN 1 END AS width,
        CASE WHEN doc_id % 2 = 0 THEN 1 END AS height,
        CAST(NULL AS INTEGER) AS duration_ms

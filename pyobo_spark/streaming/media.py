@@ -32,6 +32,8 @@ def stream_media_features(
     sink carries (feature vector ⊕ sniffed mime/dims) per asset."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
         media = (
             multimodal.probe_media_metadata(batch_df)
             if probe_metadata
@@ -49,12 +51,23 @@ def stream_media_features(
             out = feats
             if probe_metadata:
                 out = feats.join(
+                    # one metadata row per ref: a re-uploaded asset
+                    # appearing twice in a batch must not multiply the
+                    # join output (2 features x 2 metadata = 4 rows)
                     media.select("media_ref", "mime", "width", "height",
-                                 "duration_ms"),
+                                 "duration_ms").dropDuplicates(
+                                     ["media_ref"]
+                                 ),
                     on="media_ref",
                     how="left",
                 )
-            out.write.mode("append").parquet(output_dir)
+            # batch_id stamp (mirrors streaming/mentions.py): parquet
+            # append is NOT idempotent — a crash between write and
+            # checkpoint commit replays the batch, and downstream
+            # consumers dedup replayed rows by (media_ref, batch_id)
+            out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(output_dir)
         finally:
             if probe_metadata:
                 media.unpersist()

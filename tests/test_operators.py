@@ -303,6 +303,8 @@ def test_probe_media_metadata(spark):
              None, None, None),
             ("pre", "image", bytearray(_ppm_bytes()), "image/custom",
              99, 98, None),
+            ("half", "image", bytearray(_ppm_bytes()), "image/custom",
+             99, None, None),
             ("unk", "image", bytearray(b"????"), None, None, None, None),
             ("nil", "image", None, None, None, None, None),
         ],
@@ -322,6 +324,9 @@ def test_probe_media_metadata(spark):
     # pre-set metadata survives untouched
     assert rows["pre"]["mime"] == "image/custom"
     assert (rows["pre"]["width"], rows["pre"]["height"]) == (99, 98)
+    # PARTIAL metadata: null fields are filled, set fields preserved
+    assert rows["half"]["width"] == 99          # pre-set, kept
+    assert rows["half"]["height"] == 2          # filled from the header
     assert rows["unk"]["mime"] == "application/octet-stream"
     assert rows["nil"]["mime"] is None
 
@@ -370,3 +375,17 @@ def test_media_table_decode(spark):
     }
     assert (meta_rows["t1"]["width"], meta_rows["t1"]["height"]) == (3, 3)
     assert meta_rows["t1"]["mime"] == "text/csv"  # labeled on decode
+    # 'nan'/'inf' cells are excluded from the numeric feature stats
+    bad = spark.createDataFrame(
+        [("nan", "table", bytearray(b"NaN,1\ninf,3\n"), None, None,
+          None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    frow = multimodal.extract_media_features(
+        bad, dim=4, fake_decode=False
+    ).collect()[0]
+    assert frow["decode_status"] == "ok"
+    import math
+
+    assert all(math.isfinite(x) for x in frow["feature"])
+    assert abs(frow["feature"][3] - 2.0) < 1e-6  # mean of finite {1,3}

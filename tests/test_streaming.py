@@ -267,3 +267,5 @@ def test_streaming_media_features_resume(spark, tmp_path):
     assert rows["wav1"]["duration_ms"] == 100
     # ppm1 appears exactly once → no reprocessing on resume
     assert out.where("media_ref = 'ppm1'").count() == 1
+    # rows are batch-stamped for at-least-once replay dedup
+    assert rows["ppm1"]["batch_id"] != rows["wav1"]["batch_id"]
