@@ -2115,10 +2115,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # media_digest, fixed this round), round 4 composes the window as
     # the engine's best 50 — ALL 50 entries are oracle-backed. Rows-only
     # hash-family queries (minhash_near_duplicates, simhash,
-    # media_features, ngram_jaccard, ann_cosine_lsh, ann_cosine_ivf)
-    # live below the window; each kernel is driver-checked via its
-    # planted-twin oracle IN the window, and tests/parity.py still
-    # exercises ALL registry entries (rows-only included) each session.
+    # ngram_jaccard, ann_cosine_lsh, ann_cosine_ivf) live below the
+    # window; each kernel is driver-checked via its planted-twin oracle
+    # IN the window, and tests/parity.py still exercises ALL registry
+    # entries (rows-only included) each session. r05 rotation: the media
+    # pair (never driver-verified) replaces names/definitions (3× green).
     "events_sessionize": q_events_sessionize,
     "sssom_with_justification": q_sssom_with_justification,
     "semantic_mappings": q_semantic_mappings,
@@ -2144,9 +2145,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "relation_counters": q_relation_counters,
     "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
-    # flagship re-validations (green in r02/r03)
-    "names": q_names,
-    "definitions": q_definitions,
+    # r05 rotation (VERDICT r04 #1): media_features / media_metadata are
+    # the only oracle-backed queries never driver-verified — promote them
+    # into the window, displacing names/definitions (driver-green r02,
+    # r03 AND r04) into the overflow.
+    "media_features": q_media_features,
+    "media_metadata": q_media_metadata,
     "obsoletes": q_obsoletes,
     "species": q_species,
     "relations_typedef_filtered": q_relations_typedef_filtered,
@@ -2178,12 +2182,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # session). The rows-only hash-family queries live here: their
     # organic outputs are engine-specific (xxhash64), and each kernel
     # has a driver-green planted-twin oracle in the window above.
-    # (media_features is oracle-backed as of r04 — its CSV-string
-    # output compares exactly — it just sits below the window.)
+    # names/definitions moved here in r05 (driver-green r02/r03/r04) to
+    # make room for the media pair above.
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash": q_simhash,
-    "media_features": q_media_features,
-    "media_metadata": q_media_metadata,
+    "names": q_names,
+    "definitions": q_definitions,
     "rollup_counts": q_rollup_counts,
     "descendants": q_descendants,
     "has_ancestor": q_has_ancestor,
