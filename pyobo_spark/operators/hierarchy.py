@@ -19,6 +19,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: Diagnostics from the most recent ancestors()/descendants() BFS in this
+#: process: {"hops": iterations run, "hop_plan": formatted plan of the
+#: per-hop edge side}. Written for the plan-shape regression guards in
+#: tests/test_plans.py (shuffle work must stay linear in measured depth,
+#: and the hop side must serve from the persisted edges, i.e. the edge
+#: source is scanned once for the whole closure, not once per hop).
+LAST_BFS_STATS: dict = {}
+
 
 def hierarchy_edges(
     parents: DataFrame,
@@ -105,8 +113,15 @@ def ancestors(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     closure = edges.select(
         F.col("child").alias("identifier"), F.col("parent").alias("ancestor")
     )
+    LAST_BFS_STATS.clear()
+    LAST_BFS_STATS["hops"] = 0
+    LAST_BFS_STATS["hop_plan"] = hop._jdf.queryExecution().explainString(
+        hop.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
     frontier = closure
     for _ in range(max_iter):
+        LAST_BFS_STATS["hops"] += 1
         # extend the frontier one hop: (id → anc) ⋈ (anc=child → parent)
         nxt = (
             frontier.join(

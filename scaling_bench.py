@@ -27,6 +27,25 @@ import time
 REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "640"))
 
 
+def _steal_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate cpu line of /proc/stat.
+
+    The sandbox host oversubscribes vCPUs, so a hypervisor can steal a
+    variable share of each sample's CPU time. Measuring steal around
+    every timed run makes each efficiency sample carry its own
+    exculpatory (or damning) evidence instead of a narrative.
+    """
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dt = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / dt, 2) if dt > 0 else 0.0
+
+
 def child(cpus: int, sf_dir: str, replicate: int) -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import functions as F
@@ -68,7 +87,8 @@ def child(cpus: int, sf_dir: str, replicate: int) -> None:
      .mapInPandas(_warm, schema="id long, text string")
      .write.format("noop").mode("overwrite").save())
 
-    def run_once() -> tuple[float, float, float]:
+    def run_once() -> tuple[float, float, float, float]:
+        st0 = _steal_ticks()
         t0 = time.time()
         spans = corpus.select(
             F.col("doc_id").cast("string").alias("doc_id"),
@@ -92,17 +112,19 @@ def child(cpus: int, sf_dir: str, replicate: int) -> None:
         )
         stats.groupBy("h").count().write.format("noop").mode("overwrite").save()
         t2 = time.time()
-        return t2 - t0, t1 - t0, t2 - t1
+        return t2 - t0, t1 - t0, t2 - t1, _steal_pct(st0, _steal_ticks())
 
     # best-of-5: the first runs pay JVM JIT warmup, and the sandbox host
     # oversubscribes vCPUs (nonzero steal time) so single samples are
     # unreliable; min-of-R reflects achievable steady-state throughput
     runs = [run_once() for _ in range(3)]
-    wall, g_sec, s_sec = min(runs, key=lambda r: r[0])
+    wall, g_sec, s_sec, steal = min(runs, key=lambda r: r[0])
     print(json.dumps({"cpus": cpus, "wall_sec": round(wall, 3),
                       "grounding_sec": round(g_sec, 3),
                       "stats_sec": round(s_sec, 3),
                       "all_walls": [round(r[0], 3) for r in runs],
+                      "all_steal_pct": [r[3] for r in runs],
+                      "steal_pct": steal,
                       "n_docs": n_docs,
                       "docs_per_sec": round(n_docs / wall, 1)}))
 
@@ -142,12 +164,21 @@ def main() -> None:
     tn = results[n]["docs_per_sec"]
     t4n = results[fourn]["docs_per_sec"]
     eff = round(t4n / ((fourn / n) * tn), 3)
+    # a sample is "low-steal" when neither level's best run saw >2%
+    # hypervisor steal — above that the wall-clock denominator includes
+    # CPU the job never received and the efficiency number is not
+    # attributable to the code
+    max_steal = max(results[n]["steal_pct"], results[fourn]["steal_pct"])
     print(json.dumps({
         "metric": "scaling_efficiency",
         "n_cores": n, "fourn_cores": fourn,
         "throughput_n_docs_per_sec": tn,
         "throughput_4n_docs_per_sec": t4n,
         "efficiency": eff,
+        "steal_pct_n": results[n]["steal_pct"],
+        "steal_pct_4n": results[fourn]["steal_pct"],
+        "max_steal_pct": max_steal,
+        "low_steal": max_steal <= 2.0,
         "target": 0.8,
         "pass": eff >= 0.8,
         "detail": results,

@@ -183,3 +183,51 @@ def test_special_stream_union_has_no_exchange(spark, tmp_path):
         ss.names_with_special_streams(names, [ss.read_gene_info(spark, str(gi))])
     )
     assert "Exchange" not in plan
+
+
+def test_descendants_bfs_shuffle_work_linear_in_depth(spark, sf_dir):
+    """The closure BFS must (a) serve every hop's edge side from the
+    persisted edges (edge source scanned ONCE for the whole closure) and
+    (b) execute a number of stages linear in the measured depth — a
+    lineage-growth or re-scan regression shows up as a superlinear stage
+    count long before it is distinguishable from host noise in wall time.
+    Calibrated: sf0.001 runs 2 hops in ~29 stages (≈10 setup + ≤12/hop)."""
+    from pyobo_spark import queries as Q
+    from pyobo_spark.operators import hierarchy
+
+    sc = spark.sparkContext
+    sc.setJobGroup("bfs_guard", "descendants plan guard")
+    try:
+        n = Q.QUERIES["descendants"](spark, sf_dir).count()
+    finally:
+        sc.setJobGroup("tests", "post")
+    assert n > 0
+    hops = hierarchy.LAST_BFS_STATS["hops"]
+    assert hops >= 1
+    # (a) per-hop edge side reads the persisted edges, not the source
+    assert "InMemoryTableScan" in hierarchy.LAST_BFS_STATS["hop_plan"]
+    # (b) total executed stages stay linear in depth
+    st = sc.statusTracker()
+    stages = sum(
+        len(st.getJobInfo(j).stageIds)
+        for j in st.getJobIdsForGroup("bfs_guard")
+    )
+    assert stages <= 12 + 14 * hops, (stages, hops)
+
+
+def test_ann_cosine_lsh_exactly_two_shuffles(spark, sf_dir):
+    """Multi-table hyperplane LSH must shuffle exactly twice — candidate
+    dedup (distinct) and the per-query top-k window — with every join
+    broadcast (query side and signature side are small by construction).
+    A third Exchange means a candidate join stopped broadcasting; a
+    CartesianProduct means the bucket join degenerated to all-pairs."""
+    import re
+
+    from pyobo_spark import queries as Q
+
+    plan = _formatted_plan(Q.QUERIES["ann_cosine_lsh"](spark, sf_dir))
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
