@@ -49,6 +49,45 @@ def _fake_embed(col, dim: int):
     )
 
 
+#: Per-Python-worker encoder cache. The closure shipped into each task
+#: carries only the (cheap, picklable) loader; the heavy encoder it
+#: builds is stored here, in the worker process's imported module, so it
+#: survives across tasks (Spark reuses Python workers by default,
+#: spark.python.worker.reuse=true) and across executor-restart the new
+#: worker simply rebuilds it on first use. Mirrors the reference loading
+#: MiniLM once behind @lru_cache (api/embedding.py:117-118).
+_ENCODER_CACHE: dict[str, Callable] = {}
+
+
+def cached_encoder(loader: Callable[[], Callable], key: str | None = None) -> Callable:
+    """Wrap a zero-arg ``loader`` (builds the heavy encoder, e.g. loads
+    model weights) into an encoder callable that loads ONCE per Python
+    worker process, however many tasks/batches that worker runs.
+
+    Pass the result as ``term_embeddings(model=...)``. ``key`` names the
+    cache slot (defaults to the loader's qualified name); two different
+    models need two different keys.
+    """
+    k = key or f"{loader.__module__}.{getattr(loader, '__qualname__', repr(loader))}"
+
+    def encode(texts):
+        # Resolve the cache through the worker's imported module, NOT the
+        # closure: cloudpickle ships closure-captured globals BY VALUE, so
+        # a captured dict would arrive as a fresh private copy in every
+        # task and the model would reload once per task. Importing here
+        # hits sys.modules — one module object, one cache, per process.
+        import importlib
+
+        cache = importlib.import_module(__name__)._ENCODER_CACHE
+        enc = cache.get(k)
+        if enc is None:
+            enc = loader()
+            cache[k] = enc
+        return enc(texts)
+
+    return encode
+
+
 def numpy_hash_model(dim: int = DEFAULT_DIM) -> Callable:
     """A tiny deterministic stand-in "sentence encoder" used to exercise
     the real model-call path: character-trigram hashing into a bag

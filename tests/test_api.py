@@ -689,3 +689,63 @@ def test_subsetdefs_and_synonym_typedefs(spark):
         {"curie": "obo:tsto#ST1", "name": "abbrev", "specificity": "EXACT"}
     ]
     assert cat.get_subset_members("tsto", "SLIM") == {"1"}
+
+
+def test_cached_encoder_loads_once_per_worker(spark, tmp_path):
+    """term_embeddings(model=...) promises heavy weights load once per
+    Python worker, not per task or per batch (reference loads MiniLM
+    once behind @lru_cache, api/embedding.py:117-118). cached_encoder is
+    that promise: the loader stamps a pid-tagged marker file on every
+    invocation; running 32 tasks on 8 cores must produce at most one
+    marker per worker pid — and far fewer markers than tasks."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyobo_spark.operators import embeddings as E
+
+    marker_dir = str(tmp_path / "loads")
+    os.makedirs(marker_dir)
+
+    def loader():
+        import os as _os
+        import uuid as _uuid
+
+        with open(
+            f"{marker_dir}/{_os.getpid()}.{_uuid.uuid4().hex}", "w"
+        ) as f:
+            f.write("loaded")
+
+        def enc(texts):
+            return np.ones((len(texts), 4))
+
+        return enc
+
+    terms = (
+        spark.range(200)
+        .select(
+            F.lit("p").alias("prefix"),
+            F.col("id").cast("string").alias("identifier"),
+            F.concat(F.lit("name "), F.col("id")).alias("name"),
+        )
+        .repartition(32)  # many more tasks than worker processes
+    )
+    out = E.term_embeddings(
+        terms, dim=4, model=E.cached_encoder(loader, key="test-load-once")
+    ).collect()
+    assert len(out) == 200
+
+    loads = os.listdir(marker_dir)
+    pids = {name.split(".")[0] for name in loads}
+    assert len(loads) == len(pids), f"a worker loaded twice: {loads}"
+    assert 1 <= len(loads) <= 8, loads  # ≤ one per core, « 32 tasks
+
+    # a second job through the same cache key loads NOTHING new on
+    # already-warm workers (new worker pids are the only allowed growth)
+    E.term_embeddings(
+        terms, dim=4, model=E.cached_encoder(loader, key="test-load-once")
+    ).collect()
+    loads2 = os.listdir(marker_dir)
+    pids2 = {name.split(".")[0] for name in loads2}
+    assert len(loads2) == len(pids2), "a warm worker re-loaded"
