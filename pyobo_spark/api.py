@@ -62,7 +62,11 @@ def from_obo_path(
     The catalog keys on the document's ``ontology:`` header tag; when
     the file has none, ``prefix`` (or the file's basename) is injected
     as that header so the tables are reachable under a known prefix.
-    A present header always wins, like the reference's reader."""
+    A present, well-formed header wins; a present but NON-ALPHABETIC
+    header value is replaced with the supplied prefix/basename, matching
+    the reference's ``_clean_graph_ontology``
+    (struct/obo/reader.py:757-768) — otherwise a malformed header keys
+    the catalog differently than the reference (r04 advice)."""
     import os
     import re as _re
 
@@ -71,8 +75,13 @@ def from_obo_path(
     name = prefix or os.path.splitext(os.path.basename(path))[0]
     header_end = text.find("\n[")
     header = text[: header_end if header_end >= 0 else len(text)]
-    if not _re.search(r"^ontology:", header, _re.M):
+    m = _re.search(r"^ontology:[ \t]*(.*?)[ \t]*$", header, _re.M)
+    if m is None:
         text = f"ontology: {name}\n{text}"
+    elif not m.group(1).isalpha():
+        text = (
+            text[: m.start()] + f"ontology: {name}" + text[m.end():]
+        )
     return catalog_from_obo(spark, [(name, text)])
 
 
@@ -181,6 +190,38 @@ def default_reference(
     return ("obo", f"{norm}#{identifier}")
 
 
+def _fold_prefix_methods(cls):
+    """Normalize the user-supplied ``prefix`` argument ONCE at every
+    public entry point of the catalog (r04 advice: folding was
+    inconsistent — ``get_alts_to_id('CHEBI')`` worked while
+    ``get_ids('CHEBI')`` silently returned empty). Tables store
+    lowercase prefixes, so the fold is ``str.lower``. Wrapping at the
+    class boundary guarantees no method can drift out of step; the
+    remaining in-body ``.lower()`` calls are redundant but harmless."""
+    import functools
+    import inspect
+
+    def _wrap(fn):
+        @functools.wraps(fn)
+        def wrapper(self, *args, **kwargs):
+            if args and isinstance(args[0], str):
+                args = (args[0].lower(),) + args[1:]
+            elif isinstance(kwargs.get("prefix"), str):
+                kwargs["prefix"] = kwargs["prefix"].lower()
+            return fn(self, *args, **kwargs)
+
+        return wrapper
+
+    for name, fn in list(vars(cls).items()):
+        if name.startswith("_") or not inspect.isfunction(fn):
+            continue
+        params = list(inspect.signature(fn).parameters)
+        if len(params) >= 2 and params[1] == "prefix":
+            setattr(cls, name, _wrap(fn))
+    return cls
+
+
+@_fold_prefix_methods
 class OntologyCatalog:
     #: catalog table attributes backed by the canonical long-table
     #: schemas (obo_reader.table_schemas) — any table a source doesn't
@@ -305,21 +346,25 @@ class OntologyCatalog:
     max_collect_rows: int = 10_000_000
 
     def _bounded_rows(self, df: DataFrame, what: str) -> list:
-        """collect() with the driver-OOM guard. The cap probe is a pure
-        count over limit(cap+1): rows never leave the executors and
-        nothing is cached, so the misconfigured-corpus error path is
-        cheap (no 10M-row materialization). The legitimate path then
-        collects in a second bounded execution — acceptable for the
-        dimension-sized artifacts this API serves."""
-        if df.limit(self.max_collect_rows + 1).count() > self.max_collect_rows:
-            raise ValueError(
-                f"{what} would collect more than "
-                f"{self.max_collect_rows:,} rows to the driver; this "
-                "is corpus-shaped data — use the *_df form, or raise "
-                "catalog.max_collect_rows if the dimension really is "
-                "this large"
-            )
-        return df.collect()
+        """collect() with the driver-OOM guard. The result is persisted
+        across the cap probe and the collect, so the query executes ONCE
+        (r04 advice: the unpersisted probe+collect ran every mapping
+        export twice); the probe itself is a count over limit(cap+1) —
+        rows stay on the executors, so the misconfigured-corpus error
+        path never materializes 10M rows on the driver."""
+        df = df.persist()
+        try:
+            if df.limit(self.max_collect_rows + 1).count() > self.max_collect_rows:
+                raise ValueError(
+                    f"{what} would collect more than "
+                    f"{self.max_collect_rows:,} rows to the driver; this "
+                    "is corpus-shaped data — use the *_df form, or raise "
+                    "catalog.max_collect_rows if the dimension really is "
+                    "this large"
+                )
+            return df.collect()
+        finally:
+            df.unpersist()
 
     def get_subsets_df(self, prefix: str) -> DataFrame:
         """subset membership rows (struct.py subsets field / nodes-export

@@ -68,14 +68,25 @@ def read_cid_name(
     detail, not input order), so duplicates resolve to the
     lexicographically smallest title — deterministic across runs,
     partitionings and cluster sizes."""
+    # whole-line read (sep = an impossible control char, so the CSV
+    # reader keeps encoding support but never splits), then split on the
+    # FIRST tab only — the reference uses line.split('\t', 1)
+    # (cli/database_utils.py) precisely so a title containing tabs is
+    # kept whole, not truncated at its first tab (r04 advice)
     raw = (
-        spark.read.option("sep", "\t")
+        spark.read.option("sep", "\u0001")
         .option("encoding", "ISO-8859-1")
         .option("quote", "")
         .csv(path)
     )
+    parts = F.split(F.col("_c0"), "\t", 2)
+    split2 = raw.select(
+        parts.getItem(0).alias("_c0"),
+        # try_element_at: null (not an ANSI error) when the line has no tab
+        F.try_element_at(parts, F.lit(2)).alias("_c1"),
+    )
     dedup = (
-        raw.where(F.col("_c0").isNotNull() & F.col("_c1").isNotNull())
+        split2.where(F.col("_c0").isNotNull() & F.col("_c1").isNotNull())
         .groupBy("_c0")
         .agg(F.min("_c1").alias("_c1"))
     )

@@ -444,6 +444,27 @@ def test_from_obo_path(spark, tmp_path):
     assert cat.get_id_name_mapping("chebi")["24431"] == "chemical entity"
 
 
+def test_from_obo_path_malformed_header(spark, tmp_path):
+    """A present but non-alphabetic ontology: header value is replaced
+    with the supplied prefix — reference _clean_graph_ontology
+    (struct/obo/reader.py:757-768) — so the document keys its metadata
+    under the supplied prefix, not the malformed token; a well-formed
+    header still wins over the supplied prefix."""
+    from pyobo_spark.api import from_obo_path
+
+    body = "data-version: 7.7\n\n[Term]\nid: zz:1\nname: thing\n"
+    bad = tmp_path / "weird.obo"
+    bad.write_text("format-version: 1.2\nontology: my-onto.v2!\n" + body)
+    cat = from_obo_path(spark, str(bad), "cleaned")
+    assert cat.get_version("cleaned") == "7.7"
+    assert cat.get_version("my-onto.v2!") is None
+    good = tmp_path / "good.obo"
+    good.write_text("format-version: 1.2\nontology: keepme\n" + body)
+    cat2 = from_obo_path(spark, str(good), "ignoredprefix")
+    assert cat2.get_version("keepme") == "7.7"
+    assert cat2.get_version("ignoredprefix") is None
+
+
 def test_collect_guard(spark, catalog):
     """Dict/set-returning lookups are capped (VERDICT r03 item 7): a
     corpus-sized table behind a catalog raises instead of OOMing the
@@ -511,14 +532,17 @@ def test_special_streams(spark, tmp_path):
 
     cid = tmp_path / "cid_name.tsv"
     cid.write_bytes(
-        "1\tAcetyl-CoA\n1\tduplicate title\n2\tGlucose \xe9\n".encode(
-            "ISO-8859-1"
-        )
+        "1\tAcetyl-CoA\n1\tduplicate title\n2\tGlucose \xe9\n"
+        "3\ttitle with\ta tab\n4\n".encode("ISO-8859-1")
     )
     cids = {r["identifier"]: r for r in ss.read_cid_name(spark, str(cid)).collect()}
     assert cids["1"]["name"] == "Acetyl-CoA"  # deterministic min title
     assert cids["2"]["name"] == "Glucose \xe9"  # ISO-8859-1 decoded
     assert cids["1"]["prefix"] == "pubchem.compound"
+    # split('\t', 1) semantics (r04 advice): a tab inside the title is
+    # PART of the title, not a column break; a tab-less line is dropped
+    assert cids["3"]["name"] == "title with\ta tab"
+    assert "4" not in cids
 
     names = spark.createDataFrame(
         [("fixo", "7", "some term")], "prefix string, identifier string, name string"
@@ -526,7 +550,7 @@ def test_special_streams(spark, tmp_path):
     combined = ss.names_with_special_streams(
         names, [genes, ss.read_cid_name(spark, str(cid))]
     )
-    assert combined.count() == 1 + 3 + 2
+    assert combined.count() == 1 + 3 + 3  # cids: 1, 2, and tab-title 3
     assert combined.columns == ["prefix", "identifier", "name"]
 
 
@@ -749,3 +773,37 @@ def test_cached_encoder_loads_once_per_worker(spark, tmp_path):
     loads2 = os.listdir(marker_dir)
     pids2 = {name.split(".")[0] for name in loads2}
     assert len(loads2) == len(pids2), "a warm worker re-loaded"
+
+
+def test_prefix_folding_uniform_across_catalog(spark, catalog):
+    """r04 advice: folding was inconsistent — get_alts_to_id('CHEBI')
+    worked while get_ids('CHEBI') silently returned empty. The class
+    decorator now folds the prefix at EVERY public entry point; sweep
+    the whole dict/set/df-returning surface with an uppercase prefix and
+    require identical results to the lowercase call."""
+    df_like = (
+        "get_references", "get_subsets_df", "get_replacements_df",
+        "get_xrefs_df", "get_mappings_df", "get_relations_df",
+        "get_sssom_df", "get_properties_df", "get_literal_properties_df",
+        "get_object_properties_df", "get_edges_df",
+    )
+    plain = (
+        "get_ids", "get_id_name_mapping", "get_name_id_mapping",
+        "get_id_definition_mapping", "get_obsolete",
+        "get_id_synonyms_mapping", "get_subsetdefs",
+        "get_synonym_typedefs", "get_version", "get_metadata",
+        "get_id_to_alts", "get_alts_to_id", "get_id_species_mapping",
+        "get_obsolete_references",
+    )
+    must_be_nonempty = {"get_ids", "get_id_name_mapping", "get_obsolete"}
+    for name in plain:
+        lo, up = getattr(catalog, name)("fixo"), getattr(catalog, name)("FIXO")
+        assert lo == up, f"{name} differs on uppercase prefix"
+        if name in must_be_nonempty:
+            assert lo, f"{name} returned empty for the fixture prefix"
+    for name in df_like:
+        lo = getattr(catalog, name)("fixo").collect()
+        up = getattr(catalog, name)("FIXO").collect()
+        assert sorted(map(tuple, lo)) == sorted(map(tuple, up)), name
+    # keyword-style call folds too
+    assert catalog.get_ids(prefix="FIXO") == catalog.get_ids("fixo")
