@@ -39,30 +39,26 @@ def build_literal_mappings(terms: DataFrame, synonyms: DataFrame) -> DataFrame:
     )
 
 
-def run_kg_pipeline(
+def detect_and_upgrade_mentions(
     spark: SparkSession,
     tables: dict[str, DataFrame],
+    lm: DataFrame,
     skip_obsolete: bool = True,
-) -> dict[str, DataFrame]:
-    """tables: fixture dict from fixtures.generator.to_spark. Returns the
-    materialized output DataFrames."""
-    terms = tables["terms"]
-    lm = build_literal_mappings(terms, tables["synonyms"])
-
-    obsolete = exports.obsoletes(terms) if skip_obsolete else None
+) -> DataFrame:
+    """Stage body: literal-mappings dictionary → broadcast Aho-Corasick →
+    mention detection → alt-id canonicalization (broadcast join)."""
+    obsolete = exports.obsoletes(tables["terms"]) if skip_obsolete else None
     entries = dictionary.dictionary_entries(lm, skip_obsolete_df=obsolete)
     ac = dictionary.build_matcher(entries)
     bc = dictionary.broadcast_matcher(spark, ac)
 
     mentions = matcher.detect_mentions(tables["documents"], bc)
 
-    # canonicalize: alt-id upgrade (broadcast) on the mention curie
-    alts = tables["alts"]
-    alt_map = alts.select(
+    alt_map = tables["alts"].select(
         F.concat("prefix", F.lit(":"), "alt_id").alias("alt_curie"),
         F.concat("prefix", F.lit(":"), "identifier").alias("primary_curie"),
     )
-    mentions = (
+    return (
         mentions.join(
             F.broadcast(alt_map), mentions.curie == alt_map.alt_curie, "left"
         )
@@ -70,10 +66,13 @@ def run_kg_pipeline(
         .drop("alt_curie", "primary_curie")
     )
 
-    # normalize xref target curies through the identifier kernel
-    # (identifier_utils semantics): bad-status rows are EXCLUDED from the
-    # equivalence graph and surfaced in parse-status lineage counters
-    # (the reference's counter-logged warnings, reference.py:213-258)
+
+def normalized_xrefs(tables: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
+    """Stage body: normalize xref target curies through the identifier
+    kernel (identifier_utils semantics): bad-status rows are EXCLUDED
+    from the equivalence graph and surfaced in parse-status lineage
+    counters (the reference's counter-logged warnings,
+    reference.py:213-258). Returns (ok_xrefs, parse_lineage)."""
     xr_raw = tables["xrefs"].select(
         F.col("prefix").alias("subj_prefix"),
         F.col("identifier").alias("subj_identifier"),
@@ -89,36 +88,72 @@ def run_kg_pipeline(
         F.col("prefix").alias("target_prefix"),
         F.col("identifier").alias("target_id"),
     )
+    return xr, parse_lineage
+
+
+def xref_components(xr: DataFrame) -> DataFrame:
+    """Stage body: xref equivalence graph → connected components."""
     cc_edges = xr.select(
         F.concat("subj_prefix", F.lit(":"), "subj_identifier").alias("src"),
         F.concat("target_prefix", F.lit(":"), "target_id").alias("dst"),
     )
-    comp = components.connected_components(cc_edges)
+    return components.connected_components(cc_edges)
+
+
+def canonicalize_mentions(mentions: DataFrame, comp: DataFrame) -> DataFrame:
+    """Stage body: rewrite mention curies to their component canonical.
+
+    NO broadcast hint here: the component map covers every curie in the
+    xref graph (~10^7-10^8 rows across all of OBO) — broadcasting it is
+    a driver/executor-memory risk at scale. A shuffle join on curie is
+    bounded and AQE will still downgrade to broadcast when the map is
+    actually small (as in tests)."""
     comp_map = comp.select(F.col("curie").alias("m_curie"), "component")
-    # NO broadcast hint here: comp_map covers every curie in the xref
-    # graph (~10^7-10^8 rows across all of OBO) — broadcasting it is a
-    # driver/executor-memory risk at scale. A shuffle join on curie is
-    # bounded and AQE will still downgrade to broadcast when the map is
-    # actually small (as in tests).
-    mentions = (
+    return (
         mentions.join(comp_map, mentions.curie == comp_map.m_curie, "left")
         .withColumn("canonical", F.coalesce("component", "curie"))
         .drop("m_curie", "component")
     )
 
-    # triples: mention triples ∪ ontology edges
+
+def build_triples(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    mentions_canonical: DataFrame,
+    prefix: str = "fixo",
+) -> DataFrame:
+    """Stage body: mention triples ∪ typedef-filtered ontology edges."""
     typedefs = spark.createDataFrame(
         [(p, i) for p, i, _ in exports.DEFAULT_TYPEDEFS],
         "typedef_prefix string, typedef_id string",
     )
     rel_ok = exports.relations_typedef_filtered(tables["relations"], typedefs)
-    onto_edges = exports.edges(rel_ok, tables["parents"], prefix="fixo")
-    mention_triples = mentions.select(
+    onto_edges = exports.edges(rel_ok, tables["parents"], prefix=prefix)
+    mention_triples = mentions_canonical.select(
         F.concat(F.lit("doc:"), "doc_id").alias("subject_curie"),
         F.lit("pyobo:mentions").alias("predicate_curie"),
         F.col("canonical").alias("object_curie"),
     ).distinct()
-    triples = mention_triples.unionByName(onto_edges)
+    return mention_triples.unionByName(onto_edges)
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    skip_obsolete: bool = True,
+) -> dict[str, DataFrame]:
+    """tables: fixture dict from fixtures.generator.to_spark. Returns the
+    materialized output DataFrames."""
+    terms = tables["terms"]
+    lm = build_literal_mappings(terms, tables["synonyms"])
+    mentions = detect_and_upgrade_mentions(
+        spark, tables, lm, skip_obsolete=skip_obsolete
+    )
+
+    xr, parse_lineage = normalized_xrefs(tables)
+    comp = xref_components(xr)
+    mentions = canonicalize_mentions(mentions, comp)
+    triples = build_triples(spark, tables, mentions)
 
     # multimodal leg: non-text spans → media-table skeleton + (stubbed)
     # feature extraction — the media plumbing runs in the same pipeline
@@ -145,3 +180,66 @@ def run_kg_pipeline(
         "parse_lineage": parse_lineage,
         "triples": triples,
     }
+
+
+def run_kg_pipeline_staged(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    root: str,
+    skip_obsolete: bool = True,
+    force: bool = False,
+    _fail_before: str | None = None,
+) -> "PipelineRunner":
+    """The KG pipeline as four checkpointed PipelineRunner stages —
+    restartable mid-flight, the reference's resumability model
+    (per-artifact ``is_file()`` checks, struct.py:1354,
+    getters.py:166-176) as commit-then-mark parquet snapshots:
+
+      1. literal_mappings   2. mentions (detect + alt upgrade)
+      3. components         4. triples (canonicalize + edge union)
+
+    A stage whose manifest exists is skipped on re-run and its output is
+    read back from its parquet snapshot, so downstream stages consume
+    the SAME bytes an uninterrupted run would have (no recompute drift).
+    Every inter-stage input goes through the snapshot: a restarted
+    process reconstructs nothing from memory.
+
+    ``_fail_before`` simulates a crash (test hook): raise just before
+    the named stage, AFTER earlier stages committed.
+    """
+    from .stages import PipelineRunner
+
+    runner = PipelineRunner(spark, root, force=force)
+
+    def gate(name: str) -> None:
+        if _fail_before == name:
+            raise RuntimeError(f"simulated crash before stage {name!r}")
+
+    gate("literal_mappings")
+    lm = runner.stage(
+        "literal_mappings",
+        lambda: build_literal_mappings(tables["terms"], tables["synonyms"]),
+        counter_cols=("predicate",),
+    )
+    gate("mentions")
+    mentions = runner.stage(
+        "mentions",
+        lambda: detect_and_upgrade_mentions(
+            spark, tables, lm, skip_obsolete=skip_obsolete
+        ),
+        counter_cols=("curie",),
+    )
+    gate("components")
+    comp = runner.stage(
+        "components",
+        lambda: xref_components(normalized_xrefs(tables)[0]),
+    )
+    gate("triples")
+    runner.stage(
+        "triples",
+        lambda: build_triples(
+            spark, tables, canonicalize_mentions(mentions, comp)
+        ),
+        counter_cols=("predicate_curie",),
+    )
+    return runner

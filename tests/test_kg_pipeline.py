@@ -140,3 +140,58 @@ def test_obsolete_skip(spark, tables):
     curies_skip = {c for _, c, _ in entries_skip}
     assert "fixo:0000017" in curies_all  # 17 % 17 == 0 → obsolete
     assert "fixo:0000017" not in curies_skip
+
+
+def test_staged_pipeline_restart_resumes_and_matches(spark, tables, tmp_path):
+    """VERDICT r04 #5 — the resumability drill: kill the staged kg_build
+    after stage 2 of 4, restart, and require (a) stages 1-2 are SKIPPED
+    via their manifests, (b) stages 3-4 then run, and (c) every stage
+    snapshot is byte-identical to an uninterrupted run (reference
+    analog: per-artifact is_file() checks, struct.py:1354,
+    getters.py:166-176)."""
+    import hashlib
+    from pathlib import Path
+
+    from pyobo_spark.pipeline.kg_build import run_kg_pipeline_staged
+
+    def stage_bytes(root):
+        """{stage: sha256 of its concatenated parquet data bytes}, part
+        files taken in name order (names embed job UUIDs, content does
+        not — see the uninterrupted-vs-uninterrupted control below)."""
+        out = {}
+        for stage_dir in sorted(Path(root).iterdir()):
+            h = hashlib.sha256()
+            for f in sorted((stage_dir / "data").glob("part-*")):
+                h.update(f.read_bytes())
+            out[stage_dir.name] = h.hexdigest()
+        return out
+
+    # uninterrupted control runs (also proves the byte comparison is
+    # deterministic at all — if these two differ the check is void)
+    run_kg_pipeline_staged(spark, tables, str(tmp_path / "control"))
+    run_kg_pipeline_staged(spark, tables, str(tmp_path / "control2"))
+    control = stage_bytes(tmp_path / "control")
+    assert control == stage_bytes(tmp_path / "control2"), (
+        "uninterrupted runs are not byte-deterministic; comparison void"
+    )
+
+    # crash after stage 2 of 4
+    crash_root = str(tmp_path / "crashed")
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_kg_pipeline_staged(spark, tables, crash_root,
+                               _fail_before="components")
+    done = {p.parent.name for p in Path(crash_root).glob("*/_MANIFEST.json")}
+    assert done == {"literal_mappings", "mentions"}
+
+    # restart: 1-2 skipped via manifest, 3-4 computed
+    runner = run_kg_pipeline_staged(spark, tables, crash_root)
+    report = {r["stage"]: r["skipped"] for r in runner.lineage_report()}
+    assert report == {
+        "literal_mappings": True,
+        "mentions": True,
+        "components": False,
+        "triples": False,
+    }
+
+    # byte-identical outputs, stage by stage
+    assert stage_bytes(crash_root) == control
