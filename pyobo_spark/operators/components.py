@@ -20,6 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Diagnostics from the most recent connected_components() call in this
+#: process: {"rounds": star-rounds run (incl. the final no-change round
+#: that proves convergence), "edges_per_round": symmetric-edge count
+#: after each round}. The fingerprint count is computed anyway for the
+#: convergence test, so recording it costs nothing; used by the
+#: convergence-evidence test (rounds ~ O(log diameter)) and SCALING.md.
+LAST_CC_STATS: dict = {}
+
 
 def _canonical_undirected(edges: DataFrame) -> DataFrame:
     """Make edges undirected & canonical: keep both directions, drop
@@ -90,12 +98,17 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
             df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         ).distinct()
 
+    LAST_CC_STATS.clear()
+    LAST_CC_STATS["rounds"] = 0
+    LAST_CC_STATS["edges_per_round"] = []
     prev_fp = _fingerprint(e)
     for _ in range(max_iter):
         e2 = _sym_dedup(_large_star(e))
         e3 = _sym_dedup(_small_star(e2)).localCheckpoint(eager=True)
         fp = _fingerprint(e3)
         e = e3
+        LAST_CC_STATS["rounds"] += 1
+        LAST_CC_STATS["edges_per_round"].append(fp[0])
         if fp == prev_fp:
             break
         prev_fp = fp

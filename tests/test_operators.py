@@ -389,3 +389,60 @@ def test_media_table_decode(spark):
 
     assert all(math.isfinite(x) for x in frow["feature"])
     assert abs(frow["feature"][3] - 2.0) < 1e-6  # mean of finite {1,3}
+
+
+def test_cc_convergence_rounds_on_power_law_graph(spark):
+    """VERDICT r04 #6 — empirical O(log n) convergence evidence at 10×
+    the in-window CC fixture (sf0.01 cc_edges = 1,525; here 16,048):
+    a power-law hub owning ~30% of edges, a length-2048 path (the
+    diameter driver), and 300 random clusters. The alternating
+    large-star/small-star rounds must be ≤ log2(diameter)+3 — pointer
+    halving, NOT diameter-linear propagation — the per-round symmetric
+    edge count must never blow past ~2× the input (star-contraction
+    keeps intermediate state bounded), and the components must equal a
+    driver-side union-find ground truth."""
+    import math
+    import random
+
+    from pyobo_spark.operators import components as C
+
+    rng = random.Random(7)
+    edges = [("hub:000000", f"hub:{i:06d}") for i in range(1, 5001)]
+    path_len = 2048
+    edges += [(f"path:{i:05d}", f"path:{i+1:05d}") for i in range(path_len)]
+    for c in range(300):
+        nodes = [f"r{c:03d}:{i:03d}" for i in range(30)]
+        edges += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(30)]
+
+    # driver-side union-find ground truth (16k edges: trivially cheap)
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        parent[find(s)] = find(d)
+    truth = {}
+    for node in list(parent):
+        truth.setdefault(find(node), set()).add(node)
+    expected_n_components = len(truth)
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = C.connected_components(df).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["component"], set()).add(r["curie"])
+    assert len(got) == expected_n_components
+    assert {frozenset(v) for v in got.values()} == {
+        frozenset(v) for v in truth.values()
+    }
+    # every representative is its class minimum
+    assert all(k == min(v) for k, v in got.items())
+
+    rounds = C.LAST_CC_STATS["rounds"]
+    per_round = C.LAST_CC_STATS["edges_per_round"]
+    assert rounds <= math.ceil(math.log2(path_len)) + 3, (rounds, per_round)
+    assert max(per_round) <= 2.5 * len(edges), per_round
