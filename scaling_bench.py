@@ -146,8 +146,14 @@ def main() -> None:
     results: dict[int, dict] = {}
     # interleave the levels across rounds and keep each level's best —
     # host-load drift then hits both levels symmetrically
+    loadavgs: list[float] = []
     for _ in range(rounds):
         for cpus in (n, fourn):
+            # 1-min loadavg just before launching the level: catches
+            # IN-GUEST contention (other processes on this host) that
+            # hypervisor steal cannot see. A clean sample needs BOTH
+            # low steal and low ambient load.
+            loadavgs.append(round(os.getloadavg()[0], 2))
             out = subprocess.run(
                 [sys.executable, __file__, "--child", str(cpus), sf_dir,
                  str(REPLICATE)],
@@ -182,7 +188,10 @@ def main() -> None:
         "steal_pct_n": results[n]["steal_pct"],
         "steal_pct_4n": results[fourn]["steal_pct"],
         "ambient_steal_pct": ambient,
+        "loadavg_before_levels": loadavgs,
+        "max_ambient_load": max(loadavgs),
         "low_steal": ambient <= 2.0,
+        "clean": ambient <= 2.0 and max(loadavgs) <= 1.0,
         "target": 0.8,
         "pass": eff >= 0.8,
         "detail": results,
