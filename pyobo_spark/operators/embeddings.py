@@ -210,6 +210,9 @@ def embedding_similarity(
     ``get_embedding_similarity``, api/embedding.py:212-252). Point
     lookup — collects two rows."""
     two = embeddings.where(F.col("curie").isin([curie_a, curie_b]))
+    # crossJoin is bounded by construction: each side is the ≤1-row
+    # lookup of a single curie, so this is a 1×1 pairing, never a
+    # combinatorial product
     pair = (
         two.where(F.col("curie") == curie_a)
         .select(F.col("vector").alias("va"))
