@@ -63,6 +63,7 @@ def force(df) -> int:
 
 
 def main() -> None:
+    loadavg0 = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
@@ -96,6 +97,19 @@ def main() -> None:
      .mapInPandas(_warm, schema="id long, x string")
      .write.format("noop").mode("overwrite").save())
 
+    # host-condition evidence (r5): steal ticks + a single-threaded
+    # memory-bandwidth canary bracket the timed section, so every
+    # BENCH_rNN.json self-documents whether its window was quiet — a
+    # degraded-host run is then distinguishable from a code regression
+    # without a narrative (see BASELINE.md round-5 protocol).
+    # NOTE: compare canary values only bench-to-bench — inside a
+    # process hosting a Spark JVM the probe reads ~2-5x lower than
+    # standalone; the signal is its RELATIVE drop across rounds
+    from scaling_bench import _canary_gbps, _steal_pct, _steal_ticks
+
+    st0 = _steal_ticks()
+    canary_before = _canary_gbps()
+
     # best-of-2 per query: this sandbox host oversubscribes vCPUs (steal
     # time), single samples swing 10-20x; min-of-2 reflects achievable
     times: dict[str, float] = {}
@@ -123,6 +137,12 @@ def main() -> None:
                 "cpus": cpus,
                 "docs_per_sec_grounding": docs_per_sec,
                 "n_docs": n_docs,
+                "host": {
+                    "steal_pct": _steal_pct(st0, _steal_ticks()),
+                    "canary_gbps_before": canary_before,
+                    "canary_gbps_after": _canary_gbps(),
+                    "loadavg_1m_at_start": loadavg0,
+                },
             }
         )
     )
