@@ -1030,6 +1030,10 @@ class OntologyCatalog:
         prefixes = (
             (prefix,) if isinstance(prefix, str) else tuple(prefix)
         )
+        # fold case here too: the class decorator only folds a STRING
+        # first argument, so ('FIXO',) would otherwise cache a duplicate
+        # broadcast matcher beside ('fixo',)
+        prefixes = tuple(p.lower() for p in prefixes)
         # order-insensitive key: the built matcher is identical for any
         # permutation of the same prefix set, so ('a','b') and ('b','a')
         # must share one broadcast dictionary

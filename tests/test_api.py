@@ -807,3 +807,13 @@ def test_prefix_folding_uniform_across_catalog(spark, catalog):
         assert sorted(map(tuple, lo)) == sorted(map(tuple, up)), name
     # keyword-style call folds too
     assert catalog.get_ids(prefix="FIXO") == catalog.get_ids("fixo")
+
+
+def test_grounder_cache_folds_list_prefixes(spark, catalog):
+    """A list-valued prefix bypasses the class decorator's string fold;
+    get_grounder must fold each element so ('FIXO',) and ('fixo',)
+    share ONE broadcast matcher (and ground() works uppercase)."""
+    g1 = catalog.get_grounder(["FIXO"])
+    g2 = catalog.get_grounder("fixo")
+    assert g1 is g2
+    assert catalog.ground(["FIXO"], generator._label(5)) == "fixo:0000005"
