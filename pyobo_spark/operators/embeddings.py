@@ -65,10 +65,19 @@ def cached_encoder(loader: Callable[[], Callable], key: str | None = None) -> Ca
     worker process, however many tasks/batches that worker runs.
 
     Pass the result as ``term_embeddings(model=...)``. ``key`` names the
-    cache slot (defaults to the loader's qualified name); two different
-    models need two different keys.
+    cache slot; the default is a digest of the cloudpickled loader, so
+    two loaders built by the same factory with different arguments
+    (``make_loader('modelA')`` vs ``make_loader('modelB')``) get
+    DISTINCT slots — a qualified-name default would collide there and
+    silently serve the first model's encoder for the second.
     """
-    k = key or f"{loader.__module__}.{getattr(loader, '__qualname__', repr(loader))}"
+    if key is None:
+        import hashlib
+
+        from pyspark import cloudpickle
+
+        key = hashlib.sha256(cloudpickle.dumps(loader)).hexdigest()
+    k = key
 
     def encode(texts):
         # Resolve the cache through the worker's imported module, NOT the

@@ -195,8 +195,16 @@ def run_kg_pipeline_staged(
     (per-artifact ``is_file()`` checks, struct.py:1354,
     getters.py:166-176) as commit-then-mark parquet snapshots:
 
-      1. literal_mappings   2. mentions (detect + alt upgrade)
-      3. components         4. triples (canonicalize + edge union)
+      1. literal_mappings       2. mentions (detect + alt upgrade)
+      3. xref_parse_lineage     4. components
+      5. triples (canonicalize + edge union)
+
+    Stage 3 snapshots the CURIE parse-status counters so a resumable
+    run keeps the same observability as the one-shot pipeline: rows
+    excluded from the equivalence graph leave evidence (the reference's
+    counter-logged warnings, reference.py:213-258), and a registry
+    change that flips rows to unparsable shows up in the manifest's
+    row counts round-over-round.
 
     A stage whose manifest exists is skipped on re-run and its output is
     read back from its parquet snapshot, so downstream stages consume
@@ -228,6 +236,12 @@ def run_kg_pipeline_staged(
             spark, tables, lm, skip_obsolete=skip_obsolete
         ),
         counter_cols=("curie",),
+    )
+    gate("xref_parse_lineage")
+    runner.stage(
+        "xref_parse_lineage",
+        lambda: normalized_xrefs(tables)[1],
+        counter_cols=("parse_status",),
     )
     gate("components")
     comp = runner.stage(

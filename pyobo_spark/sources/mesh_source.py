@@ -179,9 +179,14 @@ def classify_registry_numbers(regs: DataFrame) -> DataFrame:
         F.regexp_replace(F.substring(r, 4, 1000), " ", ""),
         r"[.\-]+$", "",
     )
+    # canonical lowercase storage prefix ('ncbitaxon'), matching every
+    # other source and the registry (normalize/registry.py:36 — the
+    # 'NCBITaxon' casing is preferred DISPLAY case, applied at OBO
+    # emission); the reference emits the display case here, but mixing
+    # cases in the long tables would split one target across two keys
     classified = regs.where(r != "0").select(
         "identifier",
-        F.when(r.startswith("txid"), F.lit("NCBITaxon"))
+        F.when(r.startswith("txid"), F.lit("ncbitaxon"))
         .when(r.startswith("EC "), F.lit("eccode"))
         .when(r.rlike(_CAS_RE.pattern), F.lit("cas"))
         .when(r.rlike("^" + _UNII_RE.pattern), F.lit("unii"))
@@ -215,7 +220,10 @@ def read_mesh(
         )
         recs = recs.unionByName(supp)
 
-    # synthetic roots: supplemental parent + per-letter tree headers
+    # synthetic roots: supplemental parent + per-letter tree headers —
+    # emitted UNCONDITIONALLY like the reference (MeSHGetter.iter_terms
+    # yields SUPPLEMENT_PARENT and every TREE_HEADERS term before the
+    # parsed records, mesh.py:90-94)
     roots = spark.createDataFrame(
         [(SUPPLEMENT_PARENT_ID, "supplemental records")]
         + sorted(TREE_HEADER_TO_NAME.items()),

@@ -817,3 +817,21 @@ def test_grounder_cache_folds_list_prefixes(spark, catalog):
     g2 = catalog.get_grounder("fixo")
     assert g1 is g2
     assert catalog.ground(["FIXO"], generator._label(5)) == "fixo:0000005"
+
+
+def test_cached_encoder_default_key_distinguishes_loaders():
+    """Two loaders from the same factory (same qualname!) with different
+    captured arguments must get DISTINCT default cache slots — the
+    default key is a digest of the cloudpickled loader, not its name."""
+    from pyobo_spark.operators import embeddings as E
+
+    def make_loader(tag):
+        def loader():
+            return lambda texts: tag
+
+        return loader
+
+    enc_a = E.cached_encoder(make_loader("A"))
+    enc_b = E.cached_encoder(make_loader("B"))
+    assert enc_a(["x"]) == "A"
+    assert enc_b(["x"]) == "B"  # a name-keyed default would return "A"

@@ -144,8 +144,8 @@ def test_obsolete_skip(spark, tables):
 
 def test_staged_pipeline_restart_resumes_and_matches(spark, tables, tmp_path):
     """VERDICT r04 #5 — the resumability drill: kill the staged kg_build
-    after stage 2 of 4, restart, and require (a) stages 1-2 are SKIPPED
-    via their manifests, (b) stages 3-4 then run, and (c) every stage
+    after stage 2 of 5, restart, and require (a) stages 1-2 are SKIPPED
+    via their manifests, (b) stages 3-5 then run, and (c) every stage
     snapshot is byte-identical to an uninterrupted run (reference
     analog: per-artifact is_file() checks, struct.py:1354,
     getters.py:166-176)."""
@@ -175,23 +175,33 @@ def test_staged_pipeline_restart_resumes_and_matches(spark, tables, tmp_path):
         "uninterrupted runs are not byte-deterministic; comparison void"
     )
 
-    # crash after stage 2 of 4
+    # crash after stage 2 of 5
     crash_root = str(tmp_path / "crashed")
     with pytest.raises(RuntimeError, match="simulated crash"):
         run_kg_pipeline_staged(spark, tables, crash_root,
-                               _fail_before="components")
+                               _fail_before="xref_parse_lineage")
     done = {p.parent.name for p in Path(crash_root).glob("*/_MANIFEST.json")}
     assert done == {"literal_mappings", "mentions"}
 
-    # restart: 1-2 skipped via manifest, 3-4 computed
+    # restart: 1-2 skipped via manifest, 3-5 computed
     runner = run_kg_pipeline_staged(spark, tables, crash_root)
     report = {r["stage"]: r["skipped"] for r in runner.lineage_report()}
     assert report == {
         "literal_mappings": True,
         "mentions": True,
+        "xref_parse_lineage": False,
         "components": False,
         "triples": False,
     }
+    # the lineage stage's manifest carries the parse-status counters —
+    # the observability the one-shot pipeline returns as parse_lineage
+    import json as _json
+    meta = _json.loads(
+        (Path(crash_root) / "xref_parse_lineage" / "_MANIFEST.json")
+        .read_text()
+    )
+    assert "parse_status" in meta["counters"]
+    assert meta["counters"]["parse_status"].get("ok", 0) > 0
 
     # byte-identical outputs, stage by stage
     assert stage_bytes(crash_root) == control

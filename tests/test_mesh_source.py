@@ -143,7 +143,7 @@ def test_registry_number_xref_classification(tables):
     assert got == {
         ("D000201", "cas", "72-89-9"),       # CAS pattern
         ("D000201", "eccode", "2.3.1"),      # EC + standardize_ec strip
-        ("D000201", "NCBITaxon", "9606"),    # txid prefix
+        ("D000201", "ncbitaxon", "9606"),    # txid prefix (canonical lowercase storage)
         ("D000201", "unii", "ABC1234XYZ"),   # 10-alnum
         ("C000002", "cas", "33371-53-8"),
         # RegistryNumber 0 and "weird format!" dropped
