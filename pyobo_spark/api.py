@@ -75,7 +75,10 @@ def from_obo_path(
     name = prefix or os.path.splitext(os.path.basename(path))[0]
     header_end = text.find("\n[")
     header = text[: header_end if header_end >= 0 else len(text)]
-    m = _re.search(r"^ontology:[ \t]*(.*?)[ \t]*$", header, _re.M)
+    # [ \t\r]* tail: CRLF files leave a trailing \r on the captured
+    # value under re.M (only \n terminates $), and 'chebi\r'.isalpha()
+    # is False — a well-formed header must not be misread as malformed
+    m = _re.search(r"^ontology:[ \t]*(.*?)[ \t\r]*$", header, _re.M)
     if m is None:
         text = f"ontology: {name}\n{text}"
     elif not m.group(1).isalpha():
@@ -191,23 +194,30 @@ def default_reference(
 
 
 def _fold_prefix_methods(cls):
-    """Normalize the user-supplied ``prefix`` argument ONCE at every
-    public entry point of the catalog (r04 advice: folding was
+    """Normalize EVERY user-supplied prefix-valued argument ONCE at
+    every public entry point of the catalog (r04 advice: folding was
     inconsistent — ``get_alts_to_id('CHEBI')`` worked while
     ``get_ids('CHEBI')`` silently returned empty). Tables store
-    lowercase prefixes, so the fold is ``str.lower``. Wrapping at the
-    class boundary guarantees no method can drift out of step; the
+    lowercase prefixes, so the fold is ``str.lower``. Covers every
+    parameter whose name ends with ``prefix`` (``prefix``,
+    ``xref_prefix``, ``target_prefix``, ...) — folding only the first
+    argument would leave ``get_filtered_xrefs('chebi', 'NCBITaxon')``
+    silently empty, the same bug class one parameter over. Wrapping at
+    the class boundary guarantees no method can drift out of step; the
     remaining in-body ``.lower()`` calls are redundant but harmless."""
     import functools
     import inspect
 
-    def _wrap(fn):
+    def _wrap(fn, positions, names):
         @functools.wraps(fn)
         def wrapper(self, *args, **kwargs):
-            if args and isinstance(args[0], str):
-                args = (args[0].lower(),) + args[1:]
-            elif isinstance(kwargs.get("prefix"), str):
-                kwargs["prefix"] = kwargs["prefix"].lower()
+            args = list(args)
+            for i in positions:  # 0-based into args (self excluded)
+                if i < len(args) and isinstance(args[i], str):
+                    args[i] = args[i].lower()
+            for pname in names:
+                if isinstance(kwargs.get(pname), str):
+                    kwargs[pname] = kwargs[pname].lower()
             return fn(self, *args, **kwargs)
 
         return wrapper
@@ -215,9 +225,12 @@ def _fold_prefix_methods(cls):
     for name, fn in list(vars(cls).items()):
         if name.startswith("_") or not inspect.isfunction(fn):
             continue
-        params = list(inspect.signature(fn).parameters)
-        if len(params) >= 2 and params[1] == "prefix":
-            setattr(cls, name, _wrap(fn))
+        params = list(inspect.signature(fn).parameters)[1:]  # drop self
+        fold_names = [p for p in params if p.endswith("prefix")]
+        if fold_names:
+            positions = [i for i, p in enumerate(params)
+                         if p.endswith("prefix")]
+            setattr(cls, name, _wrap(fn, positions, fold_names))
     return cls
 
 

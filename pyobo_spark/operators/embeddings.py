@@ -92,6 +92,11 @@ def cached_encoder(loader: Callable[[], Callable], key: str | None = None) -> Ca
         if enc is None:
             enc = loader()
             cache[k] = enc
+            # bounded like the reference's @lru_cache: a session that
+            # rotates models must not pin every superseded encoder's
+            # weights in every worker forever (FIFO, keep the newest 2)
+            while len(cache) > 2:
+                cache.pop(next(iter(cache)))
         return enc(texts)
 
     return encode

@@ -20,12 +20,19 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: Diagnostics from the most recent ancestors()/descendants() BFS in this
-#: process: {"hops": iterations run, "hop_plan": formatted plan of the
-#: per-hop edge side}. Written for the plan-shape regression guards in
+#: process: {"hops": iterations run, "hop_df": the per-hop edge-side
+#: DataFrame}. Written for the plan-shape regression guards in
 #: tests/test_plans.py (shuffle work must stay linear in measured depth,
 #: and the hop side must serve from the persisted edges, i.e. the edge
 #: source is scanned once for the whole closure, not once per hop).
+#: The hop plan must be captured WHILE the edges are persisted (after
+#: ancestors() unpersists, the same DataFrame re-resolves to the raw
+#: source), but formatting a plan is a py4j round-trip the production
+#: path should not pay — so capture is opt-in via BFS_CAPTURE_PLAN.
+#: Module-global, so concurrent closures in one process clobber each
+#: other's stats: diagnostics only, never control flow.
 LAST_BFS_STATS: dict = {}
+BFS_CAPTURE_PLAN: bool = False  # tests set True to snapshot hop_plan
 
 
 def hierarchy_edges(
@@ -115,10 +122,11 @@ def ancestors(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     )
     LAST_BFS_STATS.clear()
     LAST_BFS_STATS["hops"] = 0
-    LAST_BFS_STATS["hop_plan"] = hop._jdf.queryExecution().explainString(
-        hop.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
-        .fromString("formatted")
-    )
+    if BFS_CAPTURE_PLAN:
+        LAST_BFS_STATS["hop_plan"] = hop._jdf.queryExecution().explainString(
+            hop.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")
+        )
     frontier = closure
     for _ in range(max_iter):
         LAST_BFS_STATS["hops"] += 1

@@ -67,28 +67,37 @@ def detect_and_upgrade_mentions(
     )
 
 
-def normalized_xrefs(tables: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
+def parsed_xrefs(tables: dict[str, DataFrame]) -> DataFrame:
     """Stage body: normalize xref target curies through the identifier
-    kernel (identifier_utils semantics): bad-status rows are EXCLUDED
-    from the equivalence graph and surfaced in parse-status lineage
-    counters (the reference's counter-logged warnings,
-    reference.py:213-258). Returns (ok_xrefs, parse_lineage)."""
+    kernel (identifier_utils semantics). Returns EVERY row with its
+    ``parse_status`` — bad-status rows stay present here so one
+    snapshot carries both the equivalence-graph input and the lineage
+    evidence (the reference's counter-logged warnings,
+    reference.py:213-258)."""
     xr_raw = tables["xrefs"].select(
         F.col("prefix").alias("subj_prefix"),
         F.col("identifier").alias("subj_identifier"),
         "predicate",
         F.concat("target_prefix", F.lit(":"), "target_id").alias("target_curie"),
     )
-    xr_parsed = normalize_curies(xr_raw, "target_curie")
-    parse_lineage = parse_metrics(xr_parsed)
-    xr = xr_parsed.where(F.col("parse_status") == "ok").select(
+    return normalize_curies(xr_raw, "target_curie")
+
+
+def ok_xrefs(parsed: DataFrame) -> DataFrame:
+    """Bad-status rows are EXCLUDED from the equivalence graph."""
+    return parsed.where(F.col("parse_status") == "ok").select(
         "subj_prefix",
         "subj_identifier",
         "predicate",
         F.col("prefix").alias("target_prefix"),
         F.col("identifier").alias("target_id"),
     )
-    return xr, parse_lineage
+
+
+def normalized_xrefs(tables: dict[str, DataFrame]) -> tuple[DataFrame, DataFrame]:
+    """(ok_xrefs, parse_lineage) — the one-shot pipeline's view."""
+    parsed = parsed_xrefs(tables)
+    return ok_xrefs(parsed), parse_metrics(parsed)
 
 
 def xref_components(xr: DataFrame) -> DataFrame:
@@ -195,16 +204,18 @@ def run_kg_pipeline_staged(
     (per-artifact ``is_file()`` checks, struct.py:1354,
     getters.py:166-176) as commit-then-mark parquet snapshots:
 
-      1. literal_mappings       2. mentions (detect + alt upgrade)
-      3. xref_parse_lineage     4. components
+      1. literal_mappings   2. mentions (detect + alt upgrade)
+      3. xrefs_parsed       4. components
       5. triples (canonicalize + edge union)
 
-    Stage 3 snapshots the CURIE parse-status counters so a resumable
-    run keeps the same observability as the one-shot pipeline: rows
-    excluded from the equivalence graph leave evidence (the reference's
-    counter-logged warnings, reference.py:213-258), and a registry
-    change that flips rows to unparsable shows up in the manifest's
-    row counts round-over-round.
+    Stage 3 snapshots the FULL parse output (every xref row with its
+    parse_status) and its manifest counts rows per status, so one
+    snapshot carries both the equivalence-graph input (stage 4 filters
+    ok rows FROM THE SNAPSHOT — the parse runs once, and a crash
+    between stages 3 and 4 cannot drift: components are built from the
+    same bytes the lineage counters describe) and the observability the
+    one-shot pipeline returns as parse_lineage (the reference's
+    counter-logged warnings, reference.py:213-258).
 
     A stage whose manifest exists is skipped on re-run and its output is
     read back from its parquet snapshot, so downstream stages consume
@@ -237,16 +248,16 @@ def run_kg_pipeline_staged(
         ),
         counter_cols=("curie",),
     )
-    gate("xref_parse_lineage")
-    runner.stage(
-        "xref_parse_lineage",
-        lambda: normalized_xrefs(tables)[1],
+    gate("xrefs_parsed")
+    parsed = runner.stage(
+        "xrefs_parsed",
+        lambda: parsed_xrefs(tables),
         counter_cols=("parse_status",),
     )
     gate("components")
     comp = runner.stage(
         "components",
-        lambda: xref_components(normalized_xrefs(tables)[0]),
+        lambda: xref_components(ok_xrefs(parsed)),
     )
     gate("triples")
     runner.stage(

@@ -91,27 +91,19 @@ _REC_SCHEMA = T.StructType(
 def _parse_mesh_records(record_tag: str, id_key: str, name_key: str):
     """mapInPandas kernel: one MeSH record fragment per input row →
     one flat record. Shared by the descriptor and supplemental dumps
-    (the reference calls get_descriptor_records with per-file keys)."""
-    import xml.etree.ElementTree as ET
-
-    open_re = re.compile(f"<{re.escape(record_tag)}(?=[\\s/>])")
-    close_tag = f"</{record_tag}>"
+    (the reference calls get_descriptor_records with per-file keys).
+    Fragment→Element scaffolding shared with xml_source."""
+    from .xml_source import iter_fragment_elements
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
-            for frag in pdf["value"]:
-                m = open_re.search(frag)
-                if m is None:
-                    continue  # prolog/footer fragment
-                try:
-                    el = ET.fromstring(frag[m.start():] + close_tag)
-                except ET.ParseError:
-                    continue
+            for el in iter_fragment_elements(pdf["value"], record_tag):
                 ident = el.findtext(id_key)
                 if not ident:
                     continue
                 name = el.findtext(name_key)
+                name = name.strip() if name else None
                 synonyms: set[str] = set()
                 registry: set[str] = set()
                 scope_note = None
@@ -139,7 +131,7 @@ def _parse_mesh_records(record_tag: str, id_key: str, name_key: str):
                 rows.append(
                     {
                         "identifier": ident.strip(),
-                        "name": name.strip() if name else None,
+                        "name": name,
                         "scope_note": scope_note,
                         "tree_numbers": sorted(
                             {
@@ -305,12 +297,15 @@ def read_mesh(
             "identifier", F.explode("registry_numbers").alias("registry_number")
         )
     ).select(
+        # canonical xrefs schema/order (obo_reader.table_schemas):
+        # provenance is a STRING there, not array — schema drift would
+        # break unionByName across sources
         F.lit(prefix).alias("prefix"),
         "identifier",
+        F.lit("oboInOwl:hasDbXref").alias("predicate"),
         "target_prefix",
         "target_id",
-        F.lit("oboInOwl:hasDbXref").alias("predicate"),
-        F.lit(None).cast("array<string>").alias("provenance"),
+        F.lit(None).cast("string").alias("provenance"),
     ).distinct()
 
     return {

@@ -50,30 +50,32 @@ _ROW_SCHEMA = T.StructType(
 )
 
 
-def _parse_records(spec: XmlSpec):
+def iter_fragment_elements(fragments, record_tag: str):
+    """lineSep-split record fragments → parsed Elements. The shared
+    scaffolding for every record-split XML source (this module and
+    mesh_source): boundary-aware open match (`<Record` must not match
+    `<RecordSet`), re-append the close tag the lineSep consumed, strip
+    any prolog/leading siblings, skip malformed tail fragments."""
     import re
     import xml.etree.ElementTree as ET
 
-    # boundary-aware: `<Record` must not match `<RecordSet`
-    open_re = re.compile(f"<{re.escape(spec.record_tag)}(?=[\\s/>])")
-    close_tag = f"</{spec.record_tag}>"
+    open_re = re.compile(f"<{re.escape(record_tag)}(?=[\\s/>])")
+    close_tag = f"</{record_tag}>"
+    for frag in fragments:
+        m = open_re.search(frag)
+        if m is None:
+            continue  # header/footer fragment with no record
+        try:
+            yield ET.fromstring(frag[m.start():] + close_tag)
+        except ET.ParseError:
+            continue  # malformed tail fragment
 
+
+def _parse_records(spec: XmlSpec):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[dict] = []
-            for frag in pdf["value"]:
-                # each row holds everything up to (not including) the
-                # record's close tag; strip any prolog/leading siblings
-                # before the record's open tag
-                m = open_re.search(frag)
-                if m is None:
-                    continue  # header/footer fragment with no record
-                start = m.start()
-                xml = frag[start:] + close_tag
-                try:
-                    el = ET.fromstring(xml)
-                except ET.ParseError:
-                    continue  # malformed tail fragment
+            for el in iter_fragment_elements(pdf["value"], spec.record_tag):
                 ident = el.findtext(spec.identifier)
                 if ident is None:
                     continue

@@ -835,3 +835,19 @@ def test_cached_encoder_default_key_distinguishes_loaders():
     enc_b = E.cached_encoder(make_loader("B"))
     assert enc_a(["x"]) == "A"
     assert enc_b(["x"]) == "B"  # a name-keyed default would return "A"
+
+
+def test_prefix_folding_covers_sibling_prefix_args(spark, catalog):
+    """Folding must reach EVERY prefix-valued parameter, not only the
+    first: get_filtered_xrefs('fixo', 'FIXP') etc. compare against
+    lowercase stored target prefixes and would silently return empty
+    with a first-arg-only fold."""
+    assert catalog.get_filtered_xrefs("FIXO", "FIXP") == \
+        catalog.get_filtered_xrefs("fixo", "fixp")
+    assert catalog.get_filtered_xrefs("fixo", "FIXP")["0000001"] == "0000001"
+    assert catalog.get_xref("fixo", "0000001", "FIXP") == "0000001"
+    rel = catalog.get_relation_mapping("FIXO", ("BFO", "0000050"), "FIXO")
+    assert rel["0000001"] == "0000002"
+    assert catalog.get_relation(
+        "fixo", "0000001", ("BFO", "0000050"), "FIXO"
+    ) == catalog.get_relation("fixo", "0000001", ("BFO", "0000050"), "fixo")

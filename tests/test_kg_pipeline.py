@@ -179,7 +179,7 @@ def test_staged_pipeline_restart_resumes_and_matches(spark, tables, tmp_path):
     crash_root = str(tmp_path / "crashed")
     with pytest.raises(RuntimeError, match="simulated crash"):
         run_kg_pipeline_staged(spark, tables, crash_root,
-                               _fail_before="xref_parse_lineage")
+                               _fail_before="xrefs_parsed")
     done = {p.parent.name for p in Path(crash_root).glob("*/_MANIFEST.json")}
     assert done == {"literal_mappings", "mentions"}
 
@@ -189,15 +189,16 @@ def test_staged_pipeline_restart_resumes_and_matches(spark, tables, tmp_path):
     assert report == {
         "literal_mappings": True,
         "mentions": True,
-        "xref_parse_lineage": False,
+        "xrefs_parsed": False,
         "components": False,
         "triples": False,
     }
-    # the lineage stage's manifest carries the parse-status counters —
-    # the observability the one-shot pipeline returns as parse_lineage
+    # the parse stage's manifest carries the parse-status counters —
+    # the observability the one-shot pipeline returns as parse_lineage —
+    # and stage 4 consumed ok rows FROM this snapshot (single parse)
     import json as _json
     meta = _json.loads(
-        (Path(crash_root) / "xref_parse_lineage" / "_MANIFEST.json")
+        (Path(crash_root) / "xrefs_parsed" / "_MANIFEST.json")
         .read_text()
     )
     assert "parse_status" in meta["counters"]

@@ -197,14 +197,18 @@ def test_descendants_bfs_shuffle_work_linear_in_depth(spark, sf_dir):
 
     sc = spark.sparkContext
     sc.setJobGroup("bfs_guard", "descendants plan guard")
+    hierarchy.BFS_CAPTURE_PLAN = True  # opt-in: snapshot the hop plan
     try:
         n = Q.QUERIES["descendants"](spark, sf_dir).count()
     finally:
+        hierarchy.BFS_CAPTURE_PLAN = False
         sc.setJobGroup("tests", "post")
     assert n > 0
     hops = hierarchy.LAST_BFS_STATS["hops"]
     assert hops >= 1
     # (a) per-hop edge side reads the persisted edges, not the source
+    # (captured mid-BFS under BFS_CAPTURE_PLAN — after ancestors()
+    # unpersists, the plan re-resolves to the raw source)
     assert "InMemoryTableScan" in hierarchy.LAST_BFS_STATS["hop_plan"]
     # (b) total executed stages stay linear in depth
     st = sc.statusTracker()
