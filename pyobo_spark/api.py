@@ -359,25 +359,26 @@ class OntologyCatalog:
     max_collect_rows: int = 10_000_000
 
     def _bounded_rows(self, df: DataFrame, what: str) -> list:
-        """collect() with the driver-OOM guard. The result is persisted
-        across the cap probe and the collect, so the query executes ONCE
-        (r04 advice: the unpersisted probe+collect ran every mapping
-        export twice); the probe itself is a count over limit(cap+1) —
-        rows stay on the executors, so the misconfigured-corpus error
-        path never materializes 10M rows on the driver."""
-        df = df.persist()
-        try:
-            if df.limit(self.max_collect_rows + 1).count() > self.max_collect_rows:
-                raise ValueError(
-                    f"{what} would collect more than "
-                    f"{self.max_collect_rows:,} rows to the driver; this "
-                    "is corpus-shaped data — use the *_df form, or raise "
-                    "catalog.max_collect_rows if the dimension really is "
-                    "this large"
-                )
-            return df.collect()
-        finally:
-            df.unpersist()
+        """collect() with the driver-OOM guard, in ONE execution and
+        with ZERO caching: limit(cap+1).collect() runs Spark's
+        incremental CollectLimit (partitions scanned in growing batches
+        until cap+1 rows arrive), so the happy path costs one pass
+        (r04 advice: the probe+collect form ran every mapping export
+        twice) and the error path is BOUNDED BY CONSTRUCTION — at most
+        cap+1 rows ever reach the driver, never the corpus, and nothing
+        is persisted to churn executor memory (r05 review: a persist()
+        probe cached ~cap rows before erroring). cap+1 transient rows
+        is within the guard's own definition of driver tolerance."""
+        rows = df.limit(self.max_collect_rows + 1).collect()
+        if len(rows) > self.max_collect_rows:
+            raise ValueError(
+                f"{what} would collect more than "
+                f"{self.max_collect_rows:,} rows to the driver; this "
+                "is corpus-shaped data — use the *_df form, or raise "
+                "catalog.max_collect_rows if the dimension really is "
+                "this large"
+            )
+        return rows
 
     def get_subsets_df(self, prefix: str) -> DataFrame:
         """subset membership rows (struct.py subsets field / nodes-export

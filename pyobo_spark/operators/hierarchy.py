@@ -20,8 +20,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 #: Diagnostics from the most recent ancestors()/descendants() BFS in this
-#: process: {"hops": iterations run, "hop_df": the per-hop edge-side
-#: DataFrame}. Written for the plan-shape regression guards in
+#: process: {"hops": iterations run, "hop_plan": formatted plan of the
+#: per-hop edge side, present only under BFS_CAPTURE_PLAN}. Written for
+#: the plan-shape regression guards in
 #: tests/test_plans.py (shuffle work must stay linear in measured depth,
 #: and the hop side must serve from the persisted edges, i.e. the edge
 #: source is scanned once for the whole closure, not once per hop).

@@ -81,9 +81,13 @@ def read_cid_name(
     )
     parts = F.split(F.col("_c0"), "\t", 2)
     split2 = raw.select(
-        parts.getItem(0).alias("_c0"),
+        # nullif(''): manual splitting yields EMPTY STRINGS where the
+        # CSV reader yielded nulls ('123\t' → ['123','']); an empty
+        # title must not survive the null filter — min() would then
+        # mask a real title with ''
+        F.nullif(parts.getItem(0), F.lit("")).alias("_c0"),
         # try_element_at: null (not an ANSI error) when the line has no tab
-        F.try_element_at(parts, F.lit(2)).alias("_c1"),
+        F.nullif(F.try_element_at(parts, F.lit(2)), F.lit("")).alias("_c1"),
     )
     dedup = (
         split2.where(F.col("_c0").isNotNull() & F.col("_c1").isNotNull())

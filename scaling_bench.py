@@ -176,6 +176,7 @@ def main() -> None:
     # interleave the levels across rounds and keep each level's best —
     # host-load drift then hits both levels symmetrically
     loadavgs: list[float] = []
+    all_steals: list[float] = []  # EVERY child run, kept or discarded
     for _ in range(rounds):
         for cpus in (n, fourn):
             # 1-min loadavg just before launching the level: catches
@@ -191,6 +192,7 @@ def main() -> None:
             line = [ln for ln in out.stdout.splitlines()
                     if ln.startswith("{")][-1]
             res = json.loads(line)
+            all_steals.extend(res["all_steal_pct"])
             if cpus not in results or res["docs_per_sec"] > results[cpus][
                 "docs_per_sec"
             ]:
@@ -199,14 +201,14 @@ def main() -> None:
     tn = results[n]["docs_per_sec"]
     t4n = results[fourn]["docs_per_sec"]
     eff = round(t4n / ((fourn / n) * tn), 3)
-    # classify the SAMPLE by ambient steal — the mean over every timed
-    # run at both levels, not just the best run's own reading: a best
-    # run can dodge the worst preemption window while its siblings show
-    # 5-7% steal, and SMT contention from the same noisy neighbor still
-    # degrades it. Empirically (r5 samples) ambient ≤1% tracks eff
+    # classify the SAMPLE by ambient steal — the mean over EVERY timed
+    # run of EVERY child (kept AND discarded rounds), not just the best
+    # run's own reading: a best run can dodge the worst preemption
+    # window while its siblings show 5-7% steal, and SMT contention
+    # from the same noisy neighbor still degrades it; computing only
+    # from the kept children would let a half-degraded sample stamp
+    # itself clean. Empirically (r5 samples) ambient ≤1% tracks eff
     # ≥0.8; ambient >2% tracks the sub-0.8 outliers.
-    all_steals = (results[n]["all_steal_pct"]
-                  + results[fourn]["all_steal_pct"])
     ambient = round(sum(all_steals) / len(all_steals), 2)
     print(json.dumps({
         "metric": "scaling_efficiency",

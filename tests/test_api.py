@@ -533,7 +533,7 @@ def test_special_streams(spark, tmp_path):
     cid = tmp_path / "cid_name.tsv"
     cid.write_bytes(
         "1\tAcetyl-CoA\n1\tduplicate title\n2\tGlucose \xe9\n"
-        "3\ttitle with\ta tab\n4\n".encode("ISO-8859-1")
+        "3\ttitle with\ta tab\n4\n5\t\n".encode("ISO-8859-1")
     )
     cids = {r["identifier"]: r for r in ss.read_cid_name(spark, str(cid)).collect()}
     assert cids["1"]["name"] == "Acetyl-CoA"  # deterministic min title
@@ -543,6 +543,9 @@ def test_special_streams(spark, tmp_path):
     # PART of the title, not a column break; a tab-less line is dropped
     assert cids["3"]["name"] == "title with\ta tab"
     assert "4" not in cids
+    # empty title ('5\t') behaves like the CSV reader's null: dropped,
+    # never allowed to win a min() against a real title
+    assert "5" not in cids
 
     names = spark.createDataFrame(
         [("fixo", "7", "some term")], "prefix string, identifier string, name string"
