@@ -38,7 +38,15 @@ def catalog_from_parquet(spark, root: str) -> "OntologyCatalog":
                  "metadata"):
         path = os.path.join(root, f"{name}.parquet")
         if os.path.exists(path):
-            tables[name] = spark.read.parquet(path)
+            df = spark.read.parquet(path)
+            # normalize prefix-valued columns on load: the lookup API
+            # folds its arguments to lowercase, so externally-written
+            # artifacts with display-cased prefixes must fold too or
+            # every filter silently misses (lazy projection, JVM-side)
+            folds = [c for c in df.columns if c.endswith("prefix")]
+            for c in folds:
+                df = df.withColumn(c, F.lower(F.col(c)))
+            tables[name] = df
     return OntologyCatalog(tables)
 
 
@@ -131,6 +139,12 @@ def build_ontology(
                 )
             d = dict(fill)
             d.update(it)
+            # enforce the stored-lowercase-prefix invariant the lookup
+            # API's fold decorator relies on: user-supplied dict parts
+            # may carry display-cased prefixes ('NCBITaxon')
+            for k, v in d.items():
+                if k.endswith("prefix") and isinstance(v, str):
+                    d[k] = v.lower()
             rows.append(d)
         if not rows:
             return spark.createDataFrame([], schema)

@@ -199,7 +199,7 @@ def run_kg_pipeline_staged(
     force: bool = False,
     _fail_before: str | None = None,
 ) -> "PipelineRunner":
-    """The KG pipeline as four checkpointed PipelineRunner stages —
+    """The KG pipeline as five checkpointed PipelineRunner stages —
     restartable mid-flight, the reference's resumability model
     (per-artifact ``is_file()`` checks, struct.py:1354,
     getters.py:166-176) as commit-then-mark parquet snapshots:

@@ -202,14 +202,21 @@ def read_mesh(
     desc = _read_records(
         spark, descriptors_path, "DescriptorRecord",
         "DescriptorUI", "DescriptorName/String",
-    )
+    ).persist()
+    # persist the parsed records: terms/synonyms/xrefs each consume
+    # recs, and the tree-number self-join consumes desc on BOTH sides —
+    # without a cache every consumer re-runs the Python-side XML parse
+    # of the whole dump (~6 parses of a multi-GB file). MEMORY_AND_DISK
+    # default: the parsed long rows are far smaller than the XML.
+    # Callers done with the catalog can unpersist via the returned
+    # DataFrames' .unpersist().
     recs = desc
     supp = None
     if supplemental_path is not None:
         supp = _read_records(
             spark, supplemental_path, "SupplementalRecord",
             "SupplementalRecordUI", "SupplementalRecordName/String",
-        )
+        ).persist()
         recs = recs.unionByName(supp)
 
     # synthetic roots: supplemental parent + per-letter tree headers —

@@ -854,3 +854,29 @@ def test_prefix_folding_covers_sibling_prefix_args(spark, catalog):
     assert catalog.get_relation(
         "fixo", "0000001", ("BFO", "0000050"), "FIXO"
     ) == catalog.get_relation("fixo", "0000001", ("BFO", "0000050"), "fixo")
+
+
+def test_ingest_enforces_lowercase_prefix_invariant(spark, tmp_path):
+    """The lookup API folds its arguments, so INGEST must fold stored
+    prefix-valued values too (r5 review): display-cased dict parts and
+    externally-written parquet artifacts both normalize on the way in."""
+    from pyobo_spark.api import build_ontology, catalog_from_parquet
+
+    cat = build_ontology(
+        spark, "MyOnt",
+        terms=[{"identifier": "1", "name": "thing"}],
+        xrefs=[{"identifier": "1", "target_prefix": "NCBITaxon",
+                "target_id": "9606"}],
+    )
+    assert cat.get_filtered_xrefs("myont", "NCBITaxon") == {"1": "9606"}
+    assert cat.get_filtered_xrefs("MYONT", "ncbitaxon") == {"1": "9606"}
+
+    # externally-written artifact with display-cased prefixes
+    spark.createDataFrame(
+        [("ExtOnt", "7", "ext thing", None, False, None)],
+        "prefix string, identifier string, name string, definition string,"
+        " is_obsolete boolean, species_id string",
+    ).write.parquet(str(tmp_path / "terms.parquet"))
+    ext = catalog_from_parquet(spark, str(tmp_path))
+    assert ext.get_id_name_mapping("extont") == {"7": "ext thing"}
+    assert ext.get_id_name_mapping("ExtOnt") == {"7": "ext thing"}
