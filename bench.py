@@ -7,6 +7,13 @@ Each query is forced end-to-end with the noop sink (evaluates every
 column, no driver collect). Also reports docs/sec for the grounding
 stage (the north-rule throughput figure).
 
+The JSON additionally carries a ``scaled`` section (VERDICT r05 #1):
+the same headline queries over a DETERMINISTIC 10x-replicated corpus
+(scripts/make_bench10x.py, built once into benchdata/sf10x/ and reused)
+so the top queries run seconds-long and a real regression clears the
+measured ±25-30% host-jitter floor that sub-second sf0.1 times sit
+under. Disable with SPARK_GRAFT_BENCH_10X=0.
+
 Scaling-efficiency evidence (N vs 4N parallelism on the same input) is
 produced by scaling_bench.py, reported in BASELINE.md.
 """
@@ -62,6 +69,36 @@ def force(df) -> int:
     return 0
 
 
+def _timed_pass(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+    """Best-of-2 per query (this host's vCPU steal makes single samples
+    swing; min-of-2 reflects achievable time)."""
+    times: dict[str, float] = {}
+    for name in names:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            force(Q.QUERIES[name](spark, sf_dir))
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        times[name] = round(best, 3)
+    return times
+
+
+def _warm_inputs(spark, sf_dir: str) -> int | None:
+    """Full-column noop write over every input parquet: count() is
+    metadata-only and would leave the data pages cold. Returns the
+    documents row count (grounding-throughput denominator)."""
+    import glob as _glob
+
+    n_docs = None
+    for pq in sorted(_glob.glob(f"{sf_dir}/*.parquet")):
+        df = spark.read.parquet(pq)
+        force(df)
+        if pq.endswith("documents.parquet"):
+            n_docs = df.count()
+    return n_docs
+
+
 def main() -> None:
     loadavg0 = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -72,16 +109,7 @@ def main() -> None:
     # Python workers once, so per-query numbers measure steady state,
     # not JIT/import/first-scan cost (r03's 8.5 s pricing_summary was a
     # verified cold-scan artifact: 0.94 s warm)
-    import glob as _glob
-
-    n_docs = None
-    for pq in sorted(_glob.glob(f"{sf_dir}/*.parquet")):
-        df = spark.read.parquet(pq)
-        # full-column noop write: count() is metadata-only and would
-        # leave the data pages cold
-        force(df)
-        if pq.endswith("documents.parquet"):
-            n_docs = df.count()
+    n_docs = _warm_inputs(spark, sf_dir)
     if n_docs is None:  # fail loudly — a 0-doc denominator would print
         raise FileNotFoundError(  # a plausible-looking wrong docs/sec
             f"{sf_dir}/documents.parquet not found"
@@ -110,42 +138,70 @@ def main() -> None:
     st0 = _steal_ticks()
     canary_before = _canary_gbps()
 
-    # best-of-2 per query: this sandbox host oversubscribes vCPUs (steal
-    # time), single samples swing 10-20x; min-of-2 reflects achievable
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        best = None
-        for _ in range(2):
-            t0 = time.time()
-            force(Q.QUERIES[name](spark, sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        times[name] = round(best, 3)
+    times = _timed_pass(spark, sf_dir, HEADLINE)
 
     total = round(sum(times.values()), 3)
     grounding_sec = times["mention_counts"]
     docs_per_sec = round(n_docs / grounding_sec, 1) if grounding_sec else None
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cpus": cpus,
-                "docs_per_sec_grounding": docs_per_sec,
-                "n_docs": n_docs,
-                "host": {
-                    "steal_pct": _steal_pct(st0, _steal_ticks()),
-                    "canary_gbps_before": canary_before,
-                    "canary_gbps_after": _canary_gbps(),
-                    "loadavg_1m_at_start": loadavg0,
-                },
-            }
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "docs_per_sec_grounding": docs_per_sec,
+        "n_docs": n_docs,
+        "host": {
+            "steal_pct": _steal_pct(st0, _steal_ticks()),
+            "canary_gbps_before": canary_before,
+            "canary_gbps_after": _canary_gbps(),
+            "loadavg_1m_at_start": loadavg0,
+        },
+    }
+
+    # ---- scaled section: same queries, deterministic 10x corpus ----
+    if os.environ.get("SPARK_GRAFT_BENCH_10X", "1") != "0":
+        repo = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, os.path.join(repo, "scripts"))
+        import make_bench10x as MB
+
+        # cache key includes the source dir name: a smoke run at
+        # sf0.001 must not leave a tiny corpus where the sf0.1 run
+        # would silently reuse it
+        scaled_dir = os.environ.get(
+            "SPARK_GRAFT_BENCH_10X_DIR",
+            os.path.join(
+                repo, "benchdata",
+                f"10x-{os.path.basename(sf_dir.rstrip('/'))}",
+            ),
         )
-    )
+        if not MB.is_built(scaled_dir):
+            MB.build(spark, sf_dir, scaled_dir, replicate=10)
+        n_docs_10x = _warm_inputs(spark, scaled_dir)
+        st1 = _steal_ticks()
+        canary_mid = _canary_gbps()
+        times_10x = _timed_pass(spark, scaled_dir, HEADLINE)
+        g10 = times_10x["mention_counts"]
+        result["scaled"] = {
+            "sf_dir": scaled_dir,
+            "replicate": 10,
+            "value": round(sum(times_10x.values()), 3),
+            "unit": "sec",
+            "queries": times_10x,
+            "n_docs": n_docs_10x,
+            "docs_per_sec_grounding": (
+                round(n_docs_10x / g10, 1) if g10 else None
+            ),
+            "host": {
+                "steal_pct": _steal_pct(st1, _steal_ticks()),
+                "canary_gbps_before": canary_mid,
+                "canary_gbps_after": _canary_gbps(),
+            },
+        }
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

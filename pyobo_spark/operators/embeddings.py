@@ -59,7 +59,11 @@ def _fake_embed(col, dim: int):
 _ENCODER_CACHE: dict[str, Callable] = {}
 
 
-def cached_encoder(loader: Callable[[], Callable], key: str | None = None) -> Callable:
+def cached_encoder(
+    loader: Callable[[], Callable],
+    key: str | None = None,
+    capacity: int = 2,
+) -> Callable:
     """Wrap a zero-arg ``loader`` (builds the heavy encoder, e.g. loads
     model weights) into an encoder callable that loads ONCE per Python
     worker process, however many tasks/batches that worker runs.
@@ -70,6 +74,10 @@ def cached_encoder(loader: Callable[[], Callable], key: str | None = None) -> Ca
     (``make_loader('modelA')`` vs ``make_loader('modelB')``) get
     DISTINCT slots — a qualified-name default would collide there and
     silently serve the first model's encoder for the second.
+    ``capacity`` bounds how many encoders a worker keeps resident
+    (true LRU — hits refresh recency, so a job alternating among
+    ``capacity`` models never thrashes; raise it per call if a worker
+    must juggle more).
     """
     if key is None:
         import hashlib
@@ -78,6 +86,7 @@ def cached_encoder(loader: Callable[[], Callable], key: str | None = None) -> Ca
 
         key = hashlib.sha256(cloudpickle.dumps(loader)).hexdigest()
     k = key
+    cap = max(int(capacity), 1)
 
     def encode(texts):
         # Resolve the cache through the worker's imported module, NOT the
@@ -94,9 +103,18 @@ def cached_encoder(loader: Callable[[], Callable], key: str | None = None) -> Ca
             cache[k] = enc
             # bounded like the reference's @lru_cache: a session that
             # rotates models must not pin every superseded encoder's
-            # weights in every worker forever (FIFO, keep the newest 2)
-            while len(cache) > 2:
+            # weights in every worker forever. Evict LEAST-recently-used
+            # (dicts iterate in insertion order; the hit path below
+            # re-inserts on use, so iteration order IS recency order) —
+            # pure FIFO would evict the hottest encoder when a job
+            # alternates among capacity+1 keys.
+            while len(cache) > cap:
                 cache.pop(next(iter(cache)))
+        else:
+            # refresh recency on hit (move_to_end equivalent for a
+            # plain dict: delete + re-insert)
+            del cache[k]
+            cache[k] = enc
         return enc(texts)
 
     return encode

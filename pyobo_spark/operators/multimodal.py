@@ -2,7 +2,8 @@
 with typed metadata. Two decode paths: the default deterministic fake
 (sha256 digest features — fully testable without codec libs) and a
 working minimal pure-numpy decoder for uncompressed containers (binary
-PPM images, PCM WAV audio, CSV tables); compressed formats
+PPM images, PCM WAV audio, CSV tables, and YUV4MPEG2 (.y4m) raw video —
+all four media kinds decode); compressed formats
 (JPEG/PNG/MP3/MP4) need
 codec libraries not in this container and surface as
 decode_status='unsupported' rather than task failures. The Spark-side
@@ -109,6 +110,62 @@ def _parse_wav_chunks(content: bytes):
     return fmt, data
 
 
+def _parse_y4m_header(content: bytes):
+    """Header-only YUV4MPEG2 parse: (w, h, fps_num, fps_den,
+    first_frame_offset, frame_size_bytes). Shared by the full decoder
+    and the metadata probe. Supports the uncompressed planar
+    colorspaces a pure-numpy decoder can handle (C420*, C444, Cmono);
+    anything else raises :class:`UnsupportedMediaError`."""
+    nl = content.find(b"\n")
+    if nl < 0:
+        raise ValueError("y4m stream has no header line")
+    w = h = None
+    num, den = 30, 1  # spec default when F is absent
+    cs = b"420"
+    for p in content[10:nl].split(b" "):
+        if p.startswith(b"W"):
+            w = int(p[1:])
+        elif p.startswith(b"H"):
+            h = int(p[1:])
+        elif p.startswith(b"F"):
+            num, den = (int(x) for x in p[1:].split(b":"))
+        elif p.startswith(b"C"):
+            cs = p[1:]
+    if w is None or h is None or w <= 0 or h <= 0 or num <= 0 or den <= 0:
+        raise ValueError(f"bad y4m header dims {w}x{h} fps={num}:{den}")
+    if cs.startswith(b"420"):
+        if w % 2 or h % 2:
+            raise ValueError("4:2:0 y4m requires even dimensions")
+        frame_size = w * h + 2 * ((w // 2) * (h // 2))
+    elif cs == b"444":
+        frame_size = 3 * w * h
+    elif cs == b"mono":
+        frame_size = w * h
+    else:
+        raise UnsupportedMediaError(f"y4m colorspace C{cs.decode()} "
+                                    "not supported")
+    return w, h, num, den, nl + 1, frame_size
+
+
+def _y4m_frame_offsets(content: bytes, pos: int, frame_size: int) -> list:
+    """Offsets of each frame's raster (after its FRAME marker line).
+    Walking markers is O(n_frames) pointer arithmetic — no pixel
+    conversion — so the metadata probe can count frames header-only."""
+    offsets = []
+    while pos < len(content):
+        if content[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad y4m FRAME marker at offset {pos}")
+        nl = content.find(b"\n", pos)
+        if nl < 0:
+            raise ValueError("unterminated y4m FRAME line")
+        raster = nl + 1
+        if len(content) - raster < frame_size:
+            raise ValueError("y4m frame shorter than header promises")
+        offsets.append(raster)
+        pos = raster + frame_size
+    return offsets
+
+
 def _probe_meta(kind: str, content: bytes) -> dict:
     """Header-only metadata: dims/duration WITHOUT materializing pixels
     or samples — at blob-store scale a metadata sweep must not pay the
@@ -128,6 +185,14 @@ def _probe_meta(kind: str, content: bytes) -> dict:
         return {
             "sample_rate": rate,
             "duration_ms": int(n_frames * 1000 / rate) if rate else 0,
+        }
+    if content[:10] == b"YUV4MPEG2 ":
+        w, h, num, den, pos, frame_size = _parse_y4m_header(content)
+        n = len(_y4m_frame_offsets(content, pos, frame_size))
+        return {
+            "width": w,
+            "height": h,
+            "duration_ms": int(n * 1000 * den / num),
         }
     raise UnsupportedMediaError(f"no header parser for this {kind} payload")
 
@@ -193,6 +258,33 @@ def _real_decode(kind: str, content: bytes):
             "duration_ms": int(len(samples) * 1000 / rate) if rate else 0,
         }
 
+    if content[:10] == b"YUV4MPEG2 ":
+        # raw planar video: sample up to max_frames luma planes evenly
+        # across the stream (a feature pass must not materialize every
+        # pixel of a long clip — the sampled set bounds per-row memory
+        # regardless of clip length)
+        w, h, num, den, pos, frame_size = _parse_y4m_header(content)
+        offsets = _y4m_frame_offsets(content, pos, frame_size)
+        if not offsets:
+            raise ValueError("y4m stream has no frames")
+        max_frames = 8
+        step = max(1, -(-len(offsets) // max_frames))  # ceil div
+        sampled = offsets[::step]
+        frames = np.stack(
+            [
+                np.frombuffer(content, dtype=np.uint8, count=w * h,
+                              offset=off).reshape(h, w)
+                for off in sampled
+            ]
+        )
+        return frames, {
+            "width": w,
+            "height": h,
+            "duration_ms": int(len(offsets) * 1000 * den / num),
+            "fps": num / den,
+            "n_frames": len(offsets),
+        }
+
     raise UnsupportedMediaError(
         f"no codec for this {kind} payload (magic={content[:4]!r}); "
         "JPEG/PNG/MP3/MP4 decode requires libraries not present in this "
@@ -206,7 +298,26 @@ def _real_features(kind: str, content: bytes, dim: int):
     tables → rows/cols/numeric-ratio/numeric-mean. Zero-padded/
     truncated to ``dim`` so the schema matches the fake path."""
     samples, meta = _real_decode(kind, content)
-    if samples.ndim == 2 and samples.dtype == object:  # table cells
+    if "n_frames" in meta:  # video: (k, h, w) sampled luma planes
+        import numpy as np
+
+        luma = samples.astype("float64") / 255.0
+        per_frame_mean = luma.mean(axis=(1, 2))
+        motion = (
+            float(np.abs(np.diff(luma, axis=0)).mean())
+            if len(luma) > 1
+            else 0.0
+        )
+        feats = [
+            float(meta["n_frames"]),
+            float(meta["fps"]),
+            meta["duration_ms"] / 1000.0,
+            float(per_frame_mean.mean()),
+            float(luma.std()),
+            motion,
+            meta["width"] / max(meta["height"], 1),
+        ]
+    elif samples.ndim == 2 and samples.dtype == object:  # table cells
         cells = [c for row in samples for c in row]
         import math
 
@@ -304,6 +415,7 @@ def extract_media_features(
 #: LABEL even though decode is unsupported in this environment
 _MAGIC_MIME: tuple[tuple[bytes, str], ...] = (
     (b"P6", "image/x-portable-pixmap"),
+    (b"YUV4MPEG2 ", "video/x-yuv4mpeg"),
     (b"RIFF", "audio/wav"),  # refined to WAVE check below
     (b"\xff\xd8\xff", "image/jpeg"),
     (b"\x89PNG", "image/png"),
@@ -403,6 +515,86 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 F.lit(every_ms),
             )
         ).alias("frame_ts_ms"),
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ts_ms", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("std_luma", T.DoubleType()),
+        T.StructField("decode_status", T.StringType()),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling over uncompressed y4m video blobs: one output
+    row per sampled frame (nearest frame at each ``every_ms`` tick) with
+    per-frame luma statistics. Map-only ``mapInPandas`` — each row
+    decodes only the frames it emits (offset arithmetic skips the rest),
+    so a long clip costs O(sampled frames), not O(all pixels). Per-row
+    degrade like the other decoders: non-y4m video payloads emit a
+    single row with decode_status 'unsupported'/'corrupt'/'missing' and
+    null frame columns — a bad asset never fails the scan."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows: list[tuple] = []
+            for ref, kind, content in zip(
+                pdf["media_ref"], pdf["kind"], pdf["content"]
+            ):
+                if kind != "video":
+                    continue
+                if content is None:
+                    rows.append((ref, None, None, None, None, "missing"))
+                    continue
+                b = bytes(content)
+                try:
+                    if b[:10] != b"YUV4MPEG2 ":
+                        raise UnsupportedMediaError("not a y4m payload")
+                    w, h, num, den, pos, frame_size = _parse_y4m_header(b)
+                    offsets = _y4m_frame_offsets(b, pos, frame_size)
+                    if not offsets:
+                        raise ValueError("y4m stream has no frames")
+                    ms_per_frame = 1000.0 * den / num
+                    duration_ms = int(len(offsets) * ms_per_frame)
+                    picked: list[int] = []
+                    for ts in range(0, max(duration_ms, 1), every_ms):
+                        idx = min(int(ts / ms_per_frame), len(offsets) - 1)
+                        if not picked or idx != picked[-1]:
+                            picked.append(idx)
+                    for idx in picked:
+                        luma = np.frombuffer(
+                            b, dtype=np.uint8, count=w * h,
+                            offset=offsets[idx],
+                        ).astype("float64") / 255.0
+                        rows.append((
+                            ref, idx, int(idx * ms_per_frame),
+                            round(float(luma.mean()), 6),
+                            round(float(luma.std()), 6),
+                            "ok",
+                        ))
+                except UnsupportedMediaError:
+                    rows.append((ref, None, None, None, None, "unsupported"))
+                except Exception:  # noqa: BLE001 — corrupt payloads
+                    rows.append((ref, None, None, None, None, "corrupt"))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "frame_idx", "frame_ts_ms",
+                    "mean_luma", "std_luma", "decode_status",
+                ],
+            ).astype(
+                {"frame_idx": "Int32", "frame_ts_ms": "Int32"}
+            )
+
+    return media.select("media_ref", "kind", "content").mapInPandas(
+        run, schema=FRAME_SCHEMA
     )
 
 

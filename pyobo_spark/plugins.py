@@ -57,10 +57,15 @@ def iter_nomenclature_plugins() -> Iterator[tuple[str, PluginFn]]:
 
 
 def _register_builtins() -> None:
+    from .sources.expasy_source import read_expasy
     from .sources.hgnc_source import read_hgnc_json
     from .sources.special_streams import read_cid_name, read_gene_info
 
     register_nomenclature_plugin("hgnc", read_hgnc_json)
+    register_nomenclature_plugin(
+        "eccode",
+        lambda spark, path, **kw: read_expasy(spark, path, **kw),
+    )
     register_nomenclature_plugin(
         "ncbigene",
         lambda spark, path: {"terms": _names_as_terms(read_gene_info(spark, path))},

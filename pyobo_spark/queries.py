@@ -1666,6 +1666,68 @@ def q_media_digest(spark, sf_dir):
     )
 
 
+def q_video_frames(spark, sf_dir):
+    """REAL video decode through the distributed frame sampler: every
+    doc gets a synthesized 2-frame 4x4 YUV4MPEG2 clip whose frame i is
+    the constant luma (doc_id*7 + i*13) % 256 — so the sampled per-frame
+    statistics are closed-form and DuckDB can state them exactly (a
+    constant plane has mean v/255 and std 0; v/255 never lands on a
+    6-dp decimal tie, so Python round == DuckDB half-up round). The y4m
+    container is built JVM-side (binary concat + unhex), the decode is
+    the same pure-numpy kernel the pytest goldens pin."""
+    from .operators import multimodal
+
+    docs = tp.load(spark, sf_dir, "documents").select("doc_id")
+
+    def frame(i: int):
+        v = ((F.col("doc_id") * 7 + i * 13) % 256).cast("int")
+        return F.concat(
+            F.lit(bytearray(b"FRAME\n")),
+            F.unhex(
+                F.concat(
+                    F.repeat(F.lpad(F.lower(F.hex(v)), 2, "0"), 16),
+                    F.lit("80" * 8),  # constant-gray 4:2:0 chroma
+                )
+            ),
+        )
+
+    media = docs.select(
+        F.concat(F.lit("blob://"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.lit("video").alias("kind"),
+        F.concat(
+            F.lit(bytearray(b"YUV4MPEG2 W4 H4 F10:1 C420\n")),
+            frame(0),
+            frame(1),
+        ).alias("content"),
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return multimodal.sample_video_frames(media, every_ms=100).select(
+        "media_ref",
+        "frame_idx",
+        "frame_ts_ms",
+        "mean_luma",
+        "std_luma",
+        "decode_status",
+    )
+
+
+SQL_VIDEO_FRAMES = """
+SELECT concat('blob://', CAST(doc_id AS VARCHAR)) AS media_ref,
+       CAST(t.i AS INTEGER) AS frame_idx,
+       CAST(t.i * 100 AS INTEGER) AS frame_ts_ms,
+       round(CAST((doc_id * 7 + t.i * 13) % 256 AS DOUBLE) / 255.0, 6)
+         AS mean_luma,
+       CAST(0.0 AS DOUBLE) AS std_luma,
+       'ok' AS decode_status
+FROM documents, (SELECT unnest([0, 1]) AS i) t
+"""
+
+
 def q_media_metadata(spark, sf_dir):
     """Metadata backfill through the real decoder: even doc_ids carry a
     decodable 1x1 PPM payload (probe fills mime + real dimensions), odd
@@ -2144,7 +2206,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the rows-only hash-family entries, now in the overflow)
     "pricing_summary": q_pricing_summary,
     "relation_counters": q_relation_counters,
-    "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
+    # r06 rotation: video_frames (new y4m decode kernel, never
+    # driver-verified) replaces distinct_parts_per_supplier (driver-
+    # green r02 AND r05) — manifest updated in the same commit
+    # (tests/test_driver_window.py pins the composition).
+    "video_frames": q_video_frames,
     # r05 rotation (VERDICT r04 #1): media_features / media_metadata are
     # the only oracle-backed queries never driver-verified — promote them
     # into the window, displacing names/definitions (driver-green r02,
@@ -2183,7 +2249,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # organic outputs are engine-specific (xxhash64), and each kernel
     # has a driver-green planted-twin oracle in the window above.
     # names/definitions moved here in r05 (driver-green r02/r03/r04) to
-    # make room for the media pair above.
+    # make room for the media pair above; distinct_parts_per_supplier
+    # moved here in r06 (driver-green r02/r05) for video_frames.
+    "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash": q_simhash,
     "names": q_names,
@@ -2273,6 +2341,7 @@ ORACLES: dict[str, str] = {
     "media_digest": SQL_MEDIA_DIGEST,
     "media_features": SQL_MEDIA_FEATURES,
     "media_metadata": SQL_MEDIA_METADATA,
+    "video_frames": SQL_VIDEO_FRAMES,
     "events_sessionize_native": SQL_EVENTS_SESSIONIZE_NATIVE,
     "typedefs": SQL_TYPEDEFS,
     "references": SQL_REFERENCES,

@@ -34,7 +34,14 @@ record fragment per row, so a multi-GB dump distributes across
 executors, same as :mod:`xml_source`), field extraction is an
 Arrow-batched ``mapInPandas``, and the tree-number parent resolution is
 a distributed self-join: explode (identifier, tree_number), derive the
-parent tree number JVM-side, join back on the exploded map. At MeSH's
+parent tree number JVM-side, join back on the exploded map.
+
+.. note:: splittability — NLM publishes the dumps gzip-compressed
+   (the reference downloads ``desc{version}.gz``), and plain ``.gz``
+   is NOT splittable in ``spark.read.text``: a compressed dump parses
+   in a single task. To get the distributed scan described above,
+   decompress first (or recompress as bgzip/plain XML); the record
+   splitting then parallelizes across executors as documented. At MeSH's
 real size (~30k descriptors) Catalyst broadcasts the map; the same plan
 holds if the taxonomy were 1000× bigger.
 """
@@ -208,8 +215,9 @@ def read_mesh(
     # without a cache every consumer re-runs the Python-side XML parse
     # of the whole dump (~6 parses of a multi-GB file). MEMORY_AND_DISK
     # default: the parsed long rows are far smaller than the XML.
-    # Callers done with the catalog can unpersist via the returned
-    # DataFrames' .unpersist().
+    # Release path: the returned tables are derived selections/unions,
+    # so .unpersist() on THEM would not free these handles — callers
+    # done with the catalog must call the returned ``unpersist()``.
     recs = desc
     supp = None
     if supplemental_path is not None:
@@ -315,9 +323,21 @@ def read_mesh(
         F.lit(None).cast("string").alias("provenance"),
     ).distinct()
 
+    cached = [df for df in (desc, supp) if df is not None]
+
+    def unpersist(blocking: bool = False) -> None:
+        """Release the persisted parsed-record DataFrames (desc/supp).
+
+        The four returned tables are derived from these caches;
+        unpersisting the tables themselves would NOT free them.
+        """
+        for df in cached:
+            df.unpersist(blocking)
+
     return {
         "terms": terms,
         "synonyms": synonyms,
         "parents": parents,
         "xrefs": xrefs,
+        "unpersist": unpersist,
     }

@@ -162,3 +162,30 @@ def test_catalog_integration(spark, tables):
     }
     syn = cat.get_synonyms("MESH", "D000201")
     assert syn == ["Acetyl-CoA"]
+
+
+def test_unpersist_releases_parsed_caches(spark, tmp_path):
+    """read_mesh pins the PARSED record DataFrames (desc/supp), not the
+    derived tables it returns — so the release path must be the
+    returned ``unpersist()`` callable (ADVICE r05: .unpersist() on the
+    derived tables would be a no-op on the caches). Uses its own
+    read_mesh call so the module-scoped ``tables`` fixture keeps its
+    caches."""
+    from pyobo_spark.sources import mesh_source as M
+
+    (tmp_path / "desc.xml").write_text(DESC_XML)
+    (tmp_path / "supp.xml").write_text(SUPP_XML)
+    tables = M.read_mesh(
+        spark, str(tmp_path / "desc.xml"), str(tmp_path / "supp.xml")
+    )
+    tables["terms"].count()  # materialize the caches
+    sc = spark.sparkContext
+    before = len([
+        r for r in sc._jsc.sc().getRDDStorageInfo() if r.isCached()
+    ])
+    assert before >= 2  # desc + supp pinned
+    tables["unpersist"](blocking=True)
+    after = len([
+        r for r in sc._jsc.sc().getRDDStorageInfo() if r.isCached()
+    ])
+    assert after <= before - 2, (before, after)

@@ -341,6 +341,100 @@ def test_frame_sample_plan(spark):
     assert ts == [0, 1000, 2000, 3000]
 
 
+def _y4m_bytes(w=4, h=4, n_frames=20, fps=10, luma_step=10):
+    # YUV4MPEG2 C420: frame i's Y plane is the constant i*luma_step,
+    # chroma planes constant 128 (gray)
+    header = f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()
+    chroma = bytes([128]) * (2 * (w // 2) * (h // 2))
+    frames = b"".join(
+        b"FRAME\n" + bytes([i * luma_step]) * (w * h) + chroma
+        for i in range(n_frames)
+    )
+    return header + frames
+
+
+def test_video_y4m_decode_kernel():
+    frames, meta = multimodal._real_decode("video", _y4m_bytes())
+    assert meta == {
+        "width": 4, "height": 4, "duration_ms": 2000,
+        "fps": 10.0, "n_frames": 20,
+    }
+    # 20 frames sampled at step ceil(20/8)=3 → indices 0,3,...,18
+    assert frames.shape == (7, 4, 4)
+    assert frames[1].min() == frames[1].max() == 30  # frame 3 luma
+    # colorspace we can't decode → unsupported, truncated frame → error
+    import pytest as _pytest
+
+    with _pytest.raises(multimodal.UnsupportedMediaError):
+        multimodal._real_decode(
+            "video", b"YUV4MPEG2 W4 H4 F10:1 C422\nFRAME\n" + b"\0" * 32
+        )
+    with _pytest.raises(ValueError):
+        multimodal._real_decode("video", _y4m_bytes()[:-5])
+
+
+def test_video_y4m_probe_and_features(spark):
+    """All four media kinds now decode on the fake_decode=False path;
+    video metadata probes header-only and features carry frame count,
+    fps, duration, luma stats, and a motion proxy."""
+    media = spark.createDataFrame(
+        [
+            ("v", "video", bytearray(_y4m_bytes()), None, None, None, None),
+            ("mp4", "video", bytearray(b"\x00\x00\x00 ftypmp42"), None,
+             None, None, None),
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    meta = {
+        r["media_ref"]: r
+        for r in multimodal.probe_media_metadata(media).collect()
+    }
+    assert meta["v"]["mime"] == "video/x-yuv4mpeg"
+    assert (meta["v"]["width"], meta["v"]["height"]) == (4, 4)
+    assert meta["v"]["duration_ms"] == 2000
+    assert meta["mp4"]["width"] is None  # compressed container: oos
+    rows = {
+        r["media_ref"]: r
+        for r in multimodal.extract_media_features(
+            media, dim=8, fake_decode=False
+        ).collect()
+    }
+    assert rows["v"]["decode_status"] == "ok"
+    f = rows["v"]["feature"]
+    assert f[0] == 20.0 and f[1] == 10.0 and abs(f[2] - 2.0) < 1e-9
+    assert abs(f[3] - 90 / 255) < 1e-4   # mean luma over sampled frames
+    assert abs(f[5] - 30 / 255) < 1e-4   # motion: 30-luma step between
+    assert abs(f[6] - 1.0) < 1e-9        # aspect  # sampled frames
+    assert rows["mp4"]["decode_status"] == "unsupported"
+
+
+def test_sample_video_frames(spark):
+    media = spark.createDataFrame(
+        [
+            ("v", "video", bytearray(_y4m_bytes()), None, None, None, None),
+            ("bad", "video", bytearray(b"\x00\x00\x00 ftypmp42"), None,
+             None, None, None),
+            ("nil", "video", None, None, None, None, None),
+            ("img", "image", bytearray(_ppm_bytes()), None, None, None,
+             None),  # non-video rows are ignored, not errored
+        ],
+        multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.sample_video_frames(media, every_ms=500).collect()
+    by_ref: dict[str, list] = {}
+    for r in out:
+        by_ref.setdefault(r["media_ref"], []).append(r)
+    assert "img" not in by_ref
+    v = sorted(by_ref["v"], key=lambda r: r["frame_idx"])
+    # 100 ms/frame, ticks every 500 ms over 2000 ms → frames 0,5,10,15
+    assert [r["frame_idx"] for r in v] == [0, 5, 10, 15]
+    assert [r["frame_ts_ms"] for r in v] == [0, 500, 1000, 1500]
+    assert abs(v[1]["mean_luma"] - 50 / 255) < 1e-6
+    assert all(r["decode_status"] == "ok" for r in v)
+    assert by_ref["bad"][0]["decode_status"] == "unsupported"
+    assert by_ref["nil"][0]["decode_status"] == "missing"
+
+
 def test_media_table_decode(spark):
     """kind='table' CSV payloads decode to cell grids with dims in the
     image-compatible width/height terms; features carry rows/cols/
