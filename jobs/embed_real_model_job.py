@@ -32,10 +32,15 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def resolve_loader(dim: int):
-    """Returns (loader, source_name). ``loader`` is a zero-arg callable
-    building the encoder — passed to cached_encoder so the weights load
-    once per Python worker regardless of task count."""
+def resolve_loader(dim: int | None):
+    """Returns (loader, source_name, dim). ``loader`` is a zero-arg
+    callable building the encoder — passed to cached_encoder so the
+    weights load once per Python worker regardless of task count.
+
+    ``dim=None`` means "the encoder's native width": MiniLM is 384-wide
+    regardless of any requested dim (term_embeddings validates the
+    model's output shape against dim, so advertising anything else
+    would fail the job), the stand-in defaults to 8."""
     try:
         import sentence_transformers  # noqa: F401
 
@@ -49,12 +54,17 @@ def resolve_loader(dim: int):
 
             return enc
 
-        return loader, "sentence-transformers/all-MiniLM-L6-v2"
+        return loader, "sentence-transformers/all-MiniLM-L6-v2", 384
     except ImportError:
         pass
 
     spec = os.environ.get("PYOBO_SPARK_ENCODER")
     if spec:
+        if dim is None:
+            raise SystemExit(
+                "PYOBO_SPARK_ENCODER is set: pass dim=<encoder width> "
+                "(term_embeddings validates the model's output shape)"
+            )
         mod_name, factory = spec.split(":")
 
         def loader():
@@ -62,21 +72,23 @@ def resolve_loader(dim: int):
 
             return getattr(importlib.import_module(mod_name), factory)()
 
-        return loader, spec
+        return loader, spec, dim
+
+    dim = 8 if dim is None else dim
 
     def loader():
         from pyobo_spark.operators.embeddings import numpy_hash_model
 
         return numpy_hash_model(dim)
 
-    return loader, "numpy_hash_model (deterministic stand-in)"
+    return loader, "numpy_hash_model (deterministic stand-in)", dim
 
 
 def main() -> None:
     args = dict(a.split("=", 1) for a in sys.argv[1:] if "=" in a)
     sf_dir = args.get("sf_dir", "/root/testdata/sf0.001")
     out = args.get("out", "/tmp/term_embeddings")
-    dim = int(args.get("dim", "8"))
+    dim = int(args["dim"]) if "dim" in args else None
 
     from pyspark.sql import SparkSession
 
@@ -84,8 +96,8 @@ def main() -> None:
     from pyobo_spark.sources import tpch_adapter as tp
 
     spark = SparkSession.builder.appName("embed_real_model").getOrCreate()
-    loader, source = resolve_loader(dim)
-    print(f"encoder: {source}", file=sys.stderr)
+    loader, source, dim = resolve_loader(dim)
+    print(f"encoder: {source} (dim={dim})", file=sys.stderr)
 
     terms = tp.terms(spark, sf_dir)
     df = term_embeddings(

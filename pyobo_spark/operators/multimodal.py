@@ -133,7 +133,10 @@ def _parse_y4m_header(content: bytes):
             cs = p[1:]
     if w is None or h is None or w <= 0 or h <= 0 or num <= 0 or den <= 0:
         raise ValueError(f"bad y4m header dims {w}x{h} fps={num}:{den}")
-    if cs.startswith(b"420"):
+    if cs in (b"420", b"420jpeg", b"420mpeg2", b"420paldv"):
+        # exactly the 8-bit 4:2:0 variants — a prefix match would also
+        # catch C420p10/C420p12 (10/12-bit), size their frames as 8-bit,
+        # land mid-raster and misreport the clip as 'corrupt'
         if w % 2 or h % 2:
             raise ValueError("4:2:0 y4m requires even dimensions")
         frame_size = w * h + 2 * ((w // 2) * (h // 2))

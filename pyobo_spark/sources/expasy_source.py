@@ -90,42 +90,70 @@ def _parse_transfer(value: str) -> list[str]:
     )
 
 
-def _parse_record(text: str):
-    """One ``//``-terminated record → field dict (expasy.py:238-277).
-    Returns None for non-entry preamble blocks (the file header has CC
-    lines but no ID)."""
-    identifier = None
-    name_parts: list[str] = []
-    reaction_parts: list[str] = []
-    deleted = False
-    transfer_ids: list[str] | None = None
-    synonyms: list[str] = []
-    prosite: list[str] = []
-    proteins: list[dict] = []
+def _parse_records_in_chunk(text: str) -> list:
+    """All records in one text chunk → list of field tuples
+    (expasy.py:238-277). Normally a chunk is ONE ``//``-terminated
+    record (the ``lineSep='//\\n'`` split), but a CRLF-line-ending dump
+    never matches that separator and arrives as a single chunk — so a
+    new ``ID`` line always STARTS a new record here rather than
+    overwriting the current one (correct though single-task, same
+    degradation class as the documented .gz caveat). Preamble blocks
+    (header CC lines before any ID) yield nothing."""
+    out: list = []
+    state: dict | None = None
+
+    def flush():
+        if state is not None:
+            out.append(
+                (
+                    state["identifier"],
+                    "".join(state["name_parts"]) or None,
+                    "".join(state["reaction_parts"]) or None,
+                    state["deleted"],
+                    state["transfer_ids"],
+                    state["synonyms"],
+                    state["prosite"],
+                    state["proteins"],
+                )
+            )
+
     for line in text.splitlines():
-        line = line.strip()
+        line = line.strip()  # also drops the \r of CRLF files
         code, value = line[:2], line[5:]
         if code == "ID":
-            identifier = value.strip()
-        elif identifier is None:
-            continue  # preamble before the first ID line
+            flush()
+            state = {
+                "identifier": value.strip(),
+                "name_parts": [],
+                "reaction_parts": [],
+                "deleted": False,
+                "transfer_ids": None,
+                "synonyms": [],
+                "prosite": [],
+                "proteins": [],
+            }
+        elif state is None or code == "//":
+            continue  # preamble before the first ID / record terminator
         elif code == "DE":
             if value == "Deleted entry.":
-                deleted = True
+                state["deleted"] = True
             elif value.startswith("Transferred entry: "):
                 # multi-line transfers: the reference parses the first
                 # line and gives up on continuations (expasy.py:244-246)
                 value = value.strip().removesuffix("and").rstrip(",").strip()
-                transfer_ids = _parse_transfer(value)
+                state["transfer_ids"] = _parse_transfer(value)
             else:
-                name_parts.append(value.rstrip("."))
+                # DE lines concatenate directly (expasy.py:248-251)
+                state["name_parts"].append(value.rstrip("."))
         elif code == "CA":
-            reaction_parts.append(value.rstrip("."))
+            state["reaction_parts"].append(value.rstrip("."))
         elif code == "AN":
-            synonyms.append(value.rstrip("."))
+            state["synonyms"].append(value.rstrip("."))
         elif code == "PR":
             # 'PROSITE; PS00065;' → PS00065 (expasy.py:258-265)
-            prosite.append(value[len("PROSITE; "):].rstrip(";").strip())
+            state["prosite"].append(
+                value[len("PROSITE; "):].rstrip(";").strip()
+            )
         elif code == "DR":
             for entry in value.replace(" ", "").split(";"):
                 if not entry:
@@ -133,30 +161,18 @@ def _parse_record(text: str):
                 uniprot_id, accession = entry.split(",")
                 # dicts, not tuples: Arrow's pandas→struct conversion
                 # requires mapping-shaped cells
-                proteins.append(
+                state["proteins"].append(
                     {"identifier": uniprot_id, "accession": accession}
                 )
-    if identifier is None:
-        return None
-    return (
-        identifier,
-        "".join(name_parts) or None,  # DE lines concatenate directly
-        "".join(reaction_parts) or None,
-        deleted,
-        transfer_ids,
-        synonyms,
-        prosite,
-        proteins,
-    )
+    flush()
+    return out
 
 
 def _parse_records(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for text in pdf["value"]:
-            rec = _parse_record(text)
-            if rec is not None:
-                rows.append(rec)
+            rows.extend(_parse_records_in_chunk(text))
         yield pd.DataFrame(
             rows, columns=[f.name for f in _REC_SCHEMA.fields]
         )
@@ -326,7 +342,11 @@ def read_expasy(
                 "identifier",
                 F.lit(en_prefix).alias("relation_prefix"),
                 F.lit(en_id).alias("relation_id"),
-                F.lit("GO").alias("target_prefix"),
+                # stored prefixes are canonically lowercase — the
+                # catalog's fold-on-lookup decorator lowercases query
+                # args, so an uppercase stored value would silently
+                # never match
+                F.lit("go").alias("target_prefix"),
                 F.col("go_id").alias("target_id"),
             )
         )

@@ -35,7 +35,11 @@ Replication is key-shifted so the derived KG plane keeps its shape:
   benches likewise keep organic neighbor structure.
 
 Usage: python scripts/make_bench10x.py [--sf-dir /root/testdata/sf0.1]
-       [--out benchdata/sf10x] [--replicate 10]
+       [--out benchdata/10x-<sf-dir-name>] [--replicate 10]
+
+The default output dir (``default_out_dir``) is keyed by the source
+dir's name and shared with bench.py — building here first means
+bench.py reuses the corpus instead of rebuilding it.
 """
 
 from __future__ import annotations
@@ -139,10 +143,18 @@ def is_built(out_dir: str) -> bool:
     )
 
 
+def default_out_dir(sf_dir: str) -> str:
+    """Single source of truth for the corpus cache location (bench.py
+    resolves through this too, so a manual build is always reused)."""
+    return os.path.join(
+        _REPO, "benchdata", f"10x-{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+
 def main() -> None:
     args = dict(zip(sys.argv[1::2], sys.argv[2::2]))
     sf_dir = args.get("--sf-dir", "/root/testdata/sf0.1")
-    out_dir = args.get("--out", os.path.join(_REPO, "benchdata", "sf10x"))
+    out_dir = args.get("--out", default_out_dir(sf_dir))
     replicate = int(args.get("--replicate", "10"))
     from pyobo_spark.session import get_spark
 

@@ -792,9 +792,9 @@ def test_real_model_swap_end_to_end(spark):
     from jobs.embed_real_model_job import resolve_loader
     from pyobo_spark.operators import embeddings as E
 
-    dim = 384  # MiniLM-L6-v2 output width
-    loader, source = resolve_loader(dim)
+    loader, source, dim = resolve_loader(None)
     assert "MiniLM" in source
+    assert dim == 384  # MiniLM-L6-v2 native output width
     terms = spark.createDataFrame(
         [("p", str(i), f"term name {i}") for i in range(20)],
         "prefix string, identifier string, name string",

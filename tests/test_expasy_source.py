@@ -133,13 +133,14 @@ def test_member_and_enables_relations(tables):
         for r in tables["relations"].collect()
     }
     # PR → prosite, DR → uniprot (multi-entry lines split on ';',
-    # expasy.py:258-277), ec2go → GO enables for MAPPED active terms only
+    # expasy.py:258-277), ec2go → GO enables for MAPPED active terms
+    # only; target prefixes stored lowercase (catalog fold invariant)
     assert got == {
         ("1.1.1.1", "0002351", "prosite", "PS00059"),
         ("1.1.1.1", "0002351", "uniprot", "P07327"),
         ("1.1.1.1", "0002351", "uniprot", "P28469"),
         ("1.1.1.1", "0002351", "uniprot", "Q5RBP7"),
-        ("1.1.1.1", "0002327", "GO", "0004022"),
+        ("1.1.1.1", "0002327", "go", "0004022"),
     }
 
 
@@ -154,6 +155,24 @@ def test_plugin_registration(spark, tmp_path):
     ids = {r["identifier"] for r in out["terms"].collect()}
     assert "1.1.1.1" in ids and "1" not in ids  # no tree file passed
     out["unpersist"]()
+
+
+def test_crlf_dump_parses_all_records(spark, tmp_path):
+    """A CRLF-line-ending enzyme.dat never matches the '//\\n' record
+    separator and arrives as ONE chunk — the chunk parser must still
+    split records at ID lines (single-task degradation, like the
+    documented .gz caveat) instead of merging everything into one
+    garbage term keyed by the last ID."""
+    crlf = ENZYME_DAT.replace("\n", "\r\n")
+    (tmp_path / "enzyme_crlf.dat").write_bytes(crlf.encode())
+    t = X.read_expasy(spark, str(tmp_path / "enzyme_crlf.dat"))
+    rows = {r["identifier"]: r for r in t["terms"].collect()}
+    assert set(rows) == {"1.1.1.1", "1.1.1.2", "1.1.1.5", "1.1.1.74"}
+    assert rows["1.1.1.1"]["name"] == "Alcohol dehydrogenase"
+    assert rows["1.1.1.5"]["is_obsolete"]
+    syn = {r["text"] for r in t["synonyms"].collect()}
+    assert syn == {"Aldehyde reductase", "ADH"}
+    t["unpersist"]()
 
 
 def test_transfer_parser_golden():

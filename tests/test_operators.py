@@ -369,6 +369,13 @@ def test_video_y4m_decode_kernel():
         multimodal._real_decode(
             "video", b"YUV4MPEG2 W4 H4 F10:1 C422\nFRAME\n" + b"\0" * 32
         )
+    # 10-bit 4:2:0 is recognized-but-undecodable → 'unsupported', not
+    # 'corrupt': a prefix match on C420 would size frames as 8-bit and
+    # land mid-raster
+    with _pytest.raises(multimodal.UnsupportedMediaError):
+        multimodal._real_decode(
+            "video", b"YUV4MPEG2 W4 H4 F10:1 C420p10\nFRAME\n" + b"\0" * 48
+        )
     with _pytest.raises(ValueError):
         multimodal._real_decode("video", _y4m_bytes()[:-5])
 
