@@ -121,6 +121,22 @@ def test_serialization_sinks_are_map_only(spark):
         assert "Exchange" not in plan, f"{name} plan shuffles:\n{plan}"
 
 
+def test_video_frame_sampler_is_map_only(spark):
+    """sample_video_frames promises a scan→mapInPandas plan with ZERO
+    Exchange — per-clip frame sampling must never shuffle the blob
+    column (at 100 TB the media bytes are the dominant traffic; any
+    Exchange here would move them across the cluster)."""
+    from pyobo_spark.operators import multimodal
+
+    media = spark.createDataFrame(
+        [("m", "video", bytearray(b"YUV4MPEG2 W2 H2 F10:1 C420\n"),
+          None, None, None, None)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    plan = _formatted_plan(multimodal.sample_video_frames(media))
+    assert "Exchange" not in plan, plan
+
+
 def test_nearest_terms_broadcasts_query_side(spark):
     """The query CURIE pickup and the top-k kernel both broadcast the
     tiny side; the only shuffle is the per-query window."""
