@@ -104,6 +104,11 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     prev_fp = _fingerprint(e)
     for _ in range(max_iter):
         e2 = _sym_dedup(_large_star(e))
+        # eager on purpose: an interleaved A-B at 10x scale measured the
+        # lazy variant (fingerprint materializes the cache in-job)
+        # slightly SLOWER — the cache-write cost inside the aggregate
+        # job beats the dedicated materialization job by nothing, and
+        # the completion bookkeeping adds jitter. Keep the simple form.
         e3 = _sym_dedup(_small_star(e2)).localCheckpoint(eager=True)
         fp = _fingerprint(e3)
         e = e3

@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 # FNV-1a constants for simhash (public domain)
 _MASK64 = (1 << 64) - 1
@@ -149,7 +150,18 @@ def minhash_near_duplicates(
         n_files = par
     if 0 < n_files < par:
         documents = documents.repartition(par)
-    sigs = minhash_signatures(documents, n_perm=n_perm)
+    # The signatures feed THREE consumers: both sides of the banded
+    # self-join and both sides of the estimate join below. The band
+    # self-join's identical sides collapse to a ReusedExchange, but the
+    # doc_id-keyed estimate joins re-run the whole Arrow signature stage
+    # (shingle hash + n_shingles x n_perm matmul — the most expensive
+    # stage of the pipeline) once per side. Persist it: n_docs x n_perm
+    # longs is ~1000x smaller than the corpus text, so MEMORY_AND_DISK
+    # is scale-safe (spills, never recomputes), and this is the same
+    # materialization point every production MinHash pipeline snapshots.
+    sigs = minhash_signatures(documents, n_perm=n_perm).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = minhash_lsh_candidates(sigs, n_bands=n_bands, rows_per_band=rows_per_band)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
