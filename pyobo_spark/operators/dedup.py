@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
+from .components import connected_components
+
 # FNV-1a constants for simhash (public domain)
 _MASK64 = (1 << 64) - 1
 
@@ -275,3 +277,61 @@ def ngram_jaccard_pairs(
     return raw.select(
         "doc_a", "doc_b", F.round("jacc", 4).alias("jaccard")
     )
+
+
+def near_dup_clusters(
+    documents: DataFrame,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Fuzzy-dedup clustering: (doc_id, cluster, keep).
+
+    The standard production composition (SURVEY §2 LLM-pipeline ops):
+    near-dup pairs from MinHash+LSH become edges of an undirected graph;
+    connected components pool transitively-linked documents into ONE
+    cluster — A~B and B~C land in the same cluster even when the A-C
+    similarity is below threshold (exactly the semantics large-scale
+    corpus dedup uses so chains of paraphrases collapse together).
+    ``cluster`` is the minimum doc_id of the group; ``keep`` marks that
+    canonical document. Documents with no near-dup partner are their own
+    cluster with keep = true.
+
+    Scale: the pair/CC stages run on the CANDIDATE GRAPH (pairs above
+    threshold — orders of magnitude smaller than the corpus); the final
+    assignment is a single join on doc_id, and the text column never
+    enters a shuffle.
+    """
+    pairs = minhash_near_duplicates(
+        documents, n_perm=n_perm, n_bands=n_bands, threshold=threshold
+    )
+    # connected_components orders labels as STRINGS (curie semantics) —
+    # zero-pad the ids so lexicographic min == numeric min. 19 digits
+    # covers every positive bigint.
+    def _pad(c: str):
+        return F.lpad(F.col(c).cast("string"), 19, "0")
+
+    edges = pairs.select(_pad("doc_a").alias("src"), _pad("doc_b").alias("dst"))
+    comp = connected_components(edges)
+    members = comp.select(
+        F.col("curie").cast("bigint").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster"),
+    )
+    out = (
+        documents.select("doc_id")
+        .join(members, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", F.col("doc_id")).alias("cluster"),
+        )
+    )
+    return out.withColumn("keep", F.col("doc_id") == F.col("cluster"))
+
+
+def dedup_keep_canonical(documents: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Filter a corpus to one canonical document per near-dup cluster —
+    the terminal stage of the fuzzy-dedup pipeline. ``clusters`` is the
+    output of :func:`near_dup_clusters`; the semi-join keeps schema and
+    partitioning of ``documents`` untouched."""
+    keep_ids = clusters.where(F.col("keep")).select("doc_id")
+    return documents.join(keep_ids, on="doc_id", how="left_semi")

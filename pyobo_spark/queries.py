@@ -1901,6 +1901,54 @@ FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
 """
 
 
+def q_near_dup_clusters_planted(spark, sf_dir):
+    """Planted-cluster oracle for the full fuzzy-dedup pipeline
+    (minhash pairs → connected components → canonical keep,
+    operators/dedup.py::near_dup_clusters). The corpus synthesizes
+    pairwise-disjoint texts (every token embeds the doc_id, so
+    cross-document Jaccard is EXACTLY 0) plus two exact twins per
+    original at +1e7/+2e7 — each cluster must be exactly the triple
+    {orig, twin1, twin2} with cluster = orig id and keep only on the
+    original. Size-3 clusters prove the TRANSITIVE pooling (the
+    twin1-twin2 edge alone cannot produce cluster = orig id)."""
+    base = (
+        tp.load(spark, sf_dir, "documents")
+        .where((F.col("doc_id") % 10 == 0) & F.col("text").isNotNull())
+        .select("doc_id")
+    )
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(30)),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.col("doc_id").cast("string"),
+                F.lit("_"),
+                i.cast("string"),
+            ),
+        ),
+    )
+    orig = base.select("doc_id", text.alias("text"))
+    corpus = orig.unionByName(
+        orig.select((F.col("doc_id") + 10000000).alias("doc_id"), "text")
+    ).unionByName(
+        orig.select((F.col("doc_id") + 20000000).alias("doc_id"), "text")
+    )
+    return dedup.near_dup_clusters(corpus).select("doc_id", "cluster", "keep")
+
+
+SQL_NEAR_DUP_CLUSTERS_PLANTED = """
+WITH base AS (
+  SELECT doc_id FROM documents WHERE doc_id % 10 = 0 AND text IS NOT NULL
+)
+SELECT doc_id, doc_id AS cluster, TRUE AS keep FROM base
+UNION ALL
+SELECT doc_id + 10000000 AS doc_id, doc_id AS cluster, FALSE AS keep FROM base
+UNION ALL
+SELECT doc_id + 20000000 AS doc_id, doc_id AS cluster, FALSE AS keep FROM base
+"""
+
+
 def q_term_embeddings(spark, sf_dir):
     """Term-keyed embedding artifact (reference api/embedding.py:52-169)
     exploded to scalar rows for the driver compare."""
@@ -2202,9 +2250,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_planted": q_ann_lsh_planted,
     "ann_ivf_planted": q_ann_ivf_planted,
     "embedding_near_dup_planted": q_embedding_near_dup_planted,
+    # r06 (late): near_dup_clusters_planted — NEW fuzzy-dedup clustering
+    # composition (pairs → CC → canonical keep), never driver-verified —
+    # replaces pricing_summary (driver-green r02 AND r05), displaced to
+    # the overflow; manifest updated in the same commit.
+    "near_dup_clusters_planted": q_near_dup_clusters_planted,
     # oracle-backed round-2 greens promoted into the window (replacing
     # the rows-only hash-family entries, now in the overflow)
-    "pricing_summary": q_pricing_summary,
     "relation_counters": q_relation_counters,
     # r06 rotation: video_frames (new y4m decode kernel, never
     # driver-verified) replaces distinct_parts_per_supplier (driver-
@@ -2252,6 +2304,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # make room for the media pair above; distinct_parts_per_supplier
     # moved here in r06 (driver-green r02/r05) for video_frames.
     "distinct_parts_per_supplier": q_distinct_parts_per_supplier,
+    "pricing_summary": q_pricing_summary,
     "minhash_near_duplicates": q_minhash_near_duplicates,
     "simhash": q_simhash,
     "names": q_names,
@@ -2304,6 +2357,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "near_dup_clusters_planted": SQL_NEAR_DUP_CLUSTERS_PLANTED,
     "relation_counters": SQL_RELATION_COUNTERS,
     "distinct_parts_per_supplier": SQL_DISTINCT_PARTS_PER_SUPPLIER,
     "rollup_counts": SQL_ROLLUP_COUNTS,
