@@ -95,13 +95,14 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_bands(
     signatures: DataFrame, n_bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signatures and self-join on (band_idx, band_hash):
-    (doc_a, doc_b, n_shared_bands). Shuffle key = band bucket, so skew is
-    bounded by bucket population; never a full cross join."""
-    bands = signatures.select(
+    """Explode signatures into LSH band buckets:
+    (doc_id, band_idx, band_hash). The banding used by the batch
+    candidate self-join below and by the streaming incremental index
+    (streaming/dedup.py) — one definition so the bucket keys agree."""
+    return signatures.select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -110,6 +111,15 @@ def minhash_lsh_candidates(
             )
         ).alias("band_idx", "band_hash"),
     )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame, n_bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_hash):
+    (doc_a, doc_b, n_shared_bands). Shuffle key = band bucket, so skew is
+    bounded by bucket population; never a full cross join."""
+    bands = minhash_bands(signatures, n_bands=n_bands, rows_per_band=rows_per_band)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -107,3 +107,131 @@ def stream_exact_dedup_catchup(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_near_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    checkpoint_dir: str,
+    output_dir: str,
+    index_dir: str,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.7,
+) -> None:
+    """Incremental MinHash+LSH NEAR-dedup — the streaming form of
+    ``operators/dedup.near_dup_clusters`` + ``dedup_keep_canonical``
+    (SURVEY.md §2.9 engine addition; the reference is batch-only).
+
+    Policy (the standard greedy online dedup):
+
+    1. WITHIN a micro-batch, transitive clustering keeps one canonical
+       document per near-dup cluster (reuses the batch operators).
+    2. ACROSS batches, a survivor is dropped when its signature shares
+       an LSH band bucket with any ALREADY-ACCEPTED document and the
+       signature-level Jaccard estimate is >= threshold.
+
+    State is two parquet tables under ``index_dir`` (the accumulated
+    band index and the accepted signatures), appended per batch and
+    stamped with batch_id — parquet append is at-least-once, so a crash
+    between the appends and the checkpoint commit replays the batch;
+    duplicate INDEX rows are harmless (candidates are de-duplicated per
+    pair) and output replays are diagnosable via the stamp (same
+    contract as streaming/media.py).
+
+    Scale: per batch the work is batch-sized signatures + one bucket
+    join against the index (band bucket is the shuffle key; the index
+    side prunes to buckets present in the batch). The index grows with
+    ACCEPTED docs only — near-dups never enter it.
+    """
+    from ..operators.dedup import (
+        dedup_keep_canonical,
+        minhash_bands,
+        minhash_signatures,
+        near_dup_clusters,
+    )
+
+    rows_per_band = n_perm // n_bands
+    bands_dir = f"{index_dir}/bands"
+    sigs_dir = f"{index_dir}/sigs"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select("doc_id", "text")
+        # stage 1: in-batch transitive canonicalization
+        clusters = near_dup_clusters(
+            docs, n_perm=n_perm, n_bands=n_bands, threshold=threshold
+        )
+        survivors = dedup_keep_canonical(batch_df, clusters)
+        sigs = minhash_signatures(
+            survivors.select("doc_id", "text"), n_perm=n_perm
+        ).persist()
+        bands = minhash_bands(sigs, n_bands=n_bands, rows_per_band=rows_per_band)
+        # stage 2: greedy check against the accumulated index
+        try:
+            idx_bands = spark.read.parquet(bands_dir)
+            idx_sigs = spark.read.parquet(sigs_dir)
+        except Exception:  # noqa: BLE001 — first batch, no index yet
+            idx_bands = None
+            idx_sigs = None
+        if idx_bands is not None:
+            cand = (
+                bands.join(
+                    idx_bands.select(
+                        F.col("doc_id").alias("old_id"), "band_idx", "band_hash"
+                    ),
+                    on=["band_idx", "band_hash"],
+                )
+                .select("doc_id", "old_id")
+                .distinct()
+            )
+            est = (
+                cand.join(sigs, on="doc_id")
+                .join(
+                    idx_sigs.select(
+                        F.col("doc_id").alias("old_id"),
+                        F.col("sig").alias("old_sig"),
+                    ),
+                    on="old_id",
+                )
+                .withColumn(
+                    "est_jaccard",
+                    F.expr(
+                        "size(filter(zip_with(sig, old_sig, (x, y) -> x = y),"
+                        f" v -> v)) / {n_perm}"
+                    ).cast("double"),
+                )
+            )
+            dup_ids = (
+                est.where(F.col("est_jaccard") >= threshold)
+                .select("doc_id")
+                .distinct()
+            )
+            survivors = survivors.join(dup_ids, on="doc_id", how="left_anti")
+            sigs_out = sigs.join(dup_ids, on="doc_id", how="left_anti")
+            bands_out = bands.join(dup_ids, on="doc_id", how="left_anti")
+        else:
+            sigs_out = sigs
+            bands_out = bands
+        stamped = survivors.withColumn("batch_id", F.lit(batch_id))
+        stamped.write.mode("append").parquet(output_dir)
+        bands_out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(bands_dir)
+        sigs_out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sigs_dir)
+        sigs.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -269,3 +269,42 @@ def test_streaming_media_features_resume(spark, tmp_path):
     assert out.where("media_ref = 'ppm1'").count() == 1
     # rows are batch-stamped for at-least-once replay dedup
     assert rows["ppm1"]["batch_id"] != rows["wav1"]["batch_id"]
+
+
+def test_streaming_near_dedup_incremental(spark, tmp_path):
+    """Incremental MinHash+LSH near-dedup: in-batch near-dups collapse
+    to the canonical doc, and a LATER batch's near-dup of an accepted
+    doc is dropped by the band-index join — across separate
+    availableNow runs, through the checkpoint."""
+    from pyobo_spark.streaming.dedup import stream_near_dedup
+
+    in_dir = str(tmp_path / "nin")
+    out_dir = str(tmp_path / "nout")
+    idx_dir = str(tmp_path / "nidx")
+    ckpt = str(tmp_path / "nckpt")
+
+    base = " ".join(f"t{i}" for i in range(100))
+    near = " ".join([f"t{i}" for i in range(95)] + ["x0 x1 x2 x3 x4"])
+    other = " ".join(f"u{i}" for i in range(100))
+    third = " ".join(f"v{i}" for i in range(100))
+
+    spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], SCHEMA
+    ).write.mode("append").parquet(in_dir)
+    stream_near_dedup(spark, in_dir, SCHEMA, ckpt, out_dir, idx_dir)
+    first = spark.read.parquet(out_dir)
+    assert {r["doc_id"] for r in first.collect()} == {1, 3}
+
+    # second run: a near-dup of doc 1 (already accepted, earlier batch)
+    # and one genuinely new doc
+    spark.createDataFrame(
+        [(4, near), (5, third)], SCHEMA
+    ).write.mode("append").parquet(in_dir)
+    stream_near_dedup(spark, in_dir, SCHEMA, ckpt, out_dir, idx_dir)
+    second = spark.read.parquet(out_dir)
+    assert {r["doc_id"] for r in second.collect()} == {1, 3, 5}
+
+    # the index accumulates ACCEPTED docs only — dropped near-dups
+    # never pollute future candidate joins
+    sigs = spark.read.parquet(f"{idx_dir}/sigs")
+    assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == {1, 3, 5}
