@@ -138,23 +138,15 @@ def minhash_lsh_candidates(
     )
 
 
-def minhash_near_duplicates(
-    documents: DataFrame,
-    n_perm: int = 64,
-    n_bands: int = 16,
-    threshold: float = 0.7,
-) -> DataFrame:
-    """Full MinHash+LSH near-dup: signatures → banded candidates →
-    signature-level Jaccard estimate filter. (doc_a, doc_b, est_jaccard)."""
-    rows_per_band = n_perm // n_bands
+def _spread_narrow_input(documents: DataFrame) -> DataFrame:
+    """Small inputs arrive as 1-2 parquet files; spread the Arrow-batch
+    signature stage across the configured reducer count. Probe the
+    source file count instead of .rdd.getNumPartitions (Connect-safe,
+    no extra analysis) and only repartition when the input is narrower
+    than the target — an unconditional repartition would force a full
+    extra shuffle of the corpus and COLLAPSE a wide input down to
+    shuffle.partitions."""
     spark = documents.sparkSession
-    # small inputs arrive as 1-2 parquet files; spread the Arrow-batch
-    # signature stage across the configured reducer count. Probe the
-    # source file count instead of .rdd.getNumPartitions (Connect-safe,
-    # no extra analysis) and only repartition when the input is narrower
-    # than the target — an unconditional repartition would force a full
-    # extra shuffle of the corpus and COLLAPSE a wide input down to
-    # shuffle.partitions.
     par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     try:
         n_files = len(documents.inputFiles())
@@ -162,18 +154,45 @@ def minhash_near_duplicates(
         n_files = par
     if 0 < n_files < par:
         documents = documents.repartition(par)
-    # The signatures feed THREE consumers: both sides of the banded
-    # self-join and both sides of the estimate join below. The band
-    # self-join's identical sides collapse to a ReusedExchange, but the
-    # doc_id-keyed estimate joins re-run the whole Arrow signature stage
-    # (shingle hash + n_shingles x n_perm matmul — the most expensive
-    # stage of the pipeline) once per side. Persist it: n_docs x n_perm
-    # longs is ~1000x smaller than the corpus text, so MEMORY_AND_DISK
-    # is scale-safe (spills, never recomputes), and this is the same
-    # materialization point every production MinHash pipeline snapshots.
-    sigs = minhash_signatures(documents, n_perm=n_perm).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    return documents
+
+
+def minhash_near_duplicates(
+    documents: DataFrame,
+    n_perm: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.7,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup: signatures → banded candidates →
+    signature-level Jaccard estimate filter. (doc_a, doc_b, est_jaccard).
+
+    ``signatures``: optionally inject a precomputed
+    :func:`minhash_signatures` table (same ``n_perm``) and OWN its cache
+    lifecycle — repeated callers (per-micro-batch streaming, loops) use
+    this form so each invocation does not pin a fresh session-lifetime
+    cache. When omitted, the function persists the signatures itself and
+    leaves them cached: the returned DataFrame is lazy, so there is no
+    point inside this function where an unpersist would be safe — a
+    one-shot batch job gets exactly the snapshot semantics it wants, and
+    the cache dies with the application.
+    """
+    rows_per_band = n_perm // n_bands
+    if signatures is None:
+        # The signatures feed THREE consumers: both sides of the banded
+        # self-join and both sides of the estimate join below. The band
+        # self-join's identical sides collapse to a ReusedExchange, but
+        # the doc_id-keyed estimate joins re-run the whole Arrow
+        # signature stage (shingle hash + n_shingles x n_perm matmul —
+        # the most expensive stage of the pipeline) once per side.
+        # Persist it: n_docs x n_perm longs is ~1000x smaller than the
+        # corpus text, so MEMORY_AND_DISK is scale-safe (spills, never
+        # recomputes), and this is the same materialization point every
+        # production MinHash pipeline snapshots.
+        signatures = minhash_signatures(
+            _spread_narrow_input(documents), n_perm=n_perm
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = signatures
     cands = minhash_lsh_candidates(sigs, n_bands=n_bands, rows_per_band=rows_per_band)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
@@ -294,6 +313,7 @@ def near_dup_clusters(
     n_perm: int = 64,
     n_bands: int = 16,
     threshold: float = 0.7,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Fuzzy-dedup clustering: (doc_id, cluster, keep).
 
@@ -310,10 +330,26 @@ def near_dup_clusters(
     Scale: the pair/CC stages run on the CANDIDATE GRAPH (pairs above
     threshold — orders of magnitude smaller than the corpus); the final
     assignment is a single join on doc_id, and the text column never
-    enters a shuffle.
+    enters a shuffle. The signature cache lives exactly as long as the
+    pair extraction: the edge set is eagerly checkpointed (it is tiny —
+    near-dup pairs only) and the signatures released before CC runs, so
+    per-batch streaming callers never accumulate pinned caches.
+
+    ``signatures``: as in :func:`minhash_near_duplicates` — inject a
+    caller-persisted signature table to own its lifecycle (this function
+    then releases nothing).
     """
+    owns_sigs = signatures is None
+    if owns_sigs:
+        signatures = minhash_signatures(
+            _spread_narrow_input(documents), n_perm=n_perm
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs = minhash_near_duplicates(
-        documents, n_perm=n_perm, n_bands=n_bands, threshold=threshold
+        documents,
+        n_perm=n_perm,
+        n_bands=n_bands,
+        threshold=threshold,
+        signatures=signatures,
     )
     # connected_components orders labels as STRINGS (curie semantics) —
     # zero-pad the ids so lexicographic min == numeric min. 19 digits
@@ -321,7 +357,14 @@ def near_dup_clusters(
     def _pad(c: str):
         return F.lpad(F.col(c).cast("string"), 19, "0")
 
-    edges = pairs.select(_pad("doc_a").alias("src"), _pad("doc_b").alias("dst"))
+    edges = pairs.select(
+        _pad("doc_a").alias("src"), _pad("doc_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    if owns_sigs:
+        # everything downstream (CC rounds, the isolated-node anti-join
+        # inside connected_components, the final doc_id join) reads the
+        # edge checkpoint, never the signature lineage — safe to release
+        signatures.unpersist()
     comp = connected_components(edges)
     members = comp.select(
         F.col("curie").cast("bigint").alias("doc_id"),

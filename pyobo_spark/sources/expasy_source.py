@@ -132,8 +132,15 @@ def _parse_records_in_chunk(text: str) -> list:
                 "prosite": [],
                 "proteins": [],
             }
-        elif state is None or code == "//":
-            continue  # preamble before the first ID / record terminator
+        elif code == "//":
+            # close the record NOW rather than waiting for the next ID:
+            # lines between a terminator and the next ID (trailing
+            # license block, inter-record commentary) must not be
+            # appended to the previous record's fields
+            flush()
+            state = None
+        elif state is None:
+            continue  # preamble before the first ID line
         elif code == "DE":
             if value == "Deleted entry.":
                 state["deleted"] = True

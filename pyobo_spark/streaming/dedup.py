@@ -158,13 +158,24 @@ def stream_near_dedup(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         docs = batch_df.select("doc_id", "text")
+        # ONE Arrow signature pass per batch: injected into stage 1
+        # (which releases nothing on injected signatures — this function
+        # owns the cache and unpersists both handles at the end, so a
+        # long-running stream never accumulates pinned per-batch caches)
+        # and reused for the survivor index rows below via a semi-join
+        # on the cache instead of a second shingle+matmul pass.
+        sigs_all = minhash_signatures(docs, n_perm=n_perm).persist()
         # stage 1: in-batch transitive canonicalization
         clusters = near_dup_clusters(
-            docs, n_perm=n_perm, n_bands=n_bands, threshold=threshold
+            docs,
+            n_perm=n_perm,
+            n_bands=n_bands,
+            threshold=threshold,
+            signatures=sigs_all,
         )
         survivors = dedup_keep_canonical(batch_df, clusters)
-        sigs = minhash_signatures(
-            survivors.select("doc_id", "text"), n_perm=n_perm
+        sigs = sigs_all.join(
+            survivors.select("doc_id"), on="doc_id", how="left_semi"
         ).persist()
         bands = minhash_bands(sigs, n_bands=n_bands, rows_per_band=rows_per_band)
         # stage 2: greedy check against the accumulated index
@@ -222,6 +233,7 @@ def stream_near_dedup(
             "append"
         ).parquet(sigs_dir)
         sigs.unpersist()
+        sigs_all.unpersist()
 
     stream = (
         spark.readStream.schema(schema)
