@@ -10,8 +10,9 @@ stage (the north-rule throughput figure).
 The JSON additionally carries a ``scaled`` section (VERDICT r05 #1):
 the same headline queries over a DETERMINISTIC 10x-replicated corpus
 (scripts/make_bench10x.py, built once into
-``benchdata/10x-<sf_dir-name>/`` and reused — the cache key includes
-the source dir so a sf0.001 smoke run can't poison the sf0.1 corpus)
+``benchdata/10x-<sf_dir-name>/`` and reused — the cached corpus carries a
+fingerprint of the source files, so a regenerated or different source
+directory forces a rebuild instead of reusing stale data)
 so the top queries run seconds-long and a real regression clears the
 measured ±25-30% host-jitter floor that sub-second sf0.1 times sit
 under. Disable with SPARK_GRAFT_BENCH_10X=0.
@@ -178,7 +179,7 @@ def main() -> None:
                 "SPARK_GRAFT_BENCH_10X_DIR",
                 MB.default_out_dir(sf_dir),
             )
-            if not MB.is_built(scaled_dir):
+            if not MB.is_built(scaled_dir, sf_dir):
                 MB.build(spark, sf_dir, scaled_dir, replicate=10)
             n_docs_10x = _warm_inputs(spark, scaled_dir)
             st1 = _steal_ticks()

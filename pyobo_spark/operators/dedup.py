@@ -157,6 +157,11 @@ def _spread_narrow_input(documents: DataFrame) -> DataFrame:
     return documents
 
 
+# signatures caches owned by default-path minhash_near_duplicates calls;
+# bounded to one live entry (see its docstring)
+_OWNED_SIG_CACHES: list[DataFrame] = []
+
+
 def minhash_near_duplicates(
     documents: DataFrame,
     n_perm: int = 64,
@@ -172,13 +177,18 @@ def minhash_near_duplicates(
     lifecycle — repeated callers (per-micro-batch streaming, loops) use
     this form so each invocation does not pin a fresh session-lifetime
     cache. When omitted, the function persists the signatures itself and
-    leaves them cached: the returned DataFrame is lazy, so there is no
-    point inside this function where an unpersist would be safe — a
-    one-shot batch job gets exactly the snapshot semantics it wants, and
-    the cache dies with the application.
+    keeps AT MOST ONE such owned cache alive: the returned DataFrame is
+    lazy (no safe in-function unpersist point), so the next default-path
+    invocation releases the previous invocation's cache instead of
+    letting repeated callers (best-of-2 benches, the parity driver)
+    accumulate a pinned n_docs x n_perm table per call. Re-running a
+    DataFrame returned by an OLDER invocation stays correct — its
+    signatures simply recompute uncached.
     """
     rows_per_band = n_perm // n_bands
     if signatures is None:
+        while _OWNED_SIG_CACHES:
+            _OWNED_SIG_CACHES.pop().unpersist()
         # The signatures feed THREE consumers: both sides of the banded
         # self-join and both sides of the estimate join below. The band
         # self-join's identical sides collapse to a ReusedExchange, but
@@ -192,6 +202,7 @@ def minhash_near_duplicates(
         signatures = minhash_signatures(
             _spread_narrow_input(documents), n_perm=n_perm
         ).persist(StorageLevel.MEMORY_AND_DISK)
+        _OWNED_SIG_CACHES.append(signatures)
     sigs = signatures
     cands = minhash_lsh_candidates(sigs, n_bands=n_bands, rows_per_band=rows_per_band)
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))

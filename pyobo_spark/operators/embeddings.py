@@ -57,6 +57,12 @@ def _fake_embed(col, dim: int):
 #: worker simply rebuilds it on first use. Mirrors the reference loading
 #: MiniLM once behind @lru_cache (api/embedding.py:117-118).
 _ENCODER_CACHE: dict[str, Callable] = {}
+# Effective eviction bound for the SHARED per-worker cache above: the max
+# capacity any cached_encoder has registered in this process. A per-call
+# bound would let a default-capacity encoder truncate the dict below a
+# larger-capacity sibling's working set, evicting resident multi-GB
+# models the larger caller is actively rotating.
+_ENCODER_CACHE_CAP: int = 2
 
 
 def cached_encoder(
@@ -77,7 +83,10 @@ def cached_encoder(
     ``capacity`` bounds how many encoders a worker keeps resident
     (true LRU — hits refresh recency, so a job alternating among
     ``capacity`` models never thrashes; raise it per call if a worker
-    must juggle more).
+    must juggle more). The cache is SHARED per worker, so the effective
+    bound is the max capacity any encoder has registered — a
+    default-capacity encoder can't shrink the cache under a
+    larger-capacity one.
     """
     if key is None:
         import hashlib
@@ -96,7 +105,13 @@ def cached_encoder(
         # hits sys.modules — one module object, one cache, per process.
         import importlib
 
-        cache = importlib.import_module(__name__)._ENCODER_CACHE
+        mod = importlib.import_module(__name__)
+        cache = mod._ENCODER_CACHE
+        # capacities compose across encoders sharing the worker cache:
+        # the bound only ever grows, so a capacity=2 encoder can never
+        # evict entries a capacity=4 sibling is rotating through
+        if cap > mod._ENCODER_CACHE_CAP:
+            mod._ENCODER_CACHE_CAP = cap
         enc = cache.get(k)
         if enc is None:
             enc = loader()
@@ -108,7 +123,7 @@ def cached_encoder(
             # re-inserts on use, so iteration order IS recency order) —
             # pure FIFO would evict the hottest encoder when a job
             # alternates among capacity+1 keys.
-            while len(cache) > cap:
+            while len(cache) > mod._ENCODER_CACHE_CAP:
                 cache.pop(next(iter(cache)))
         else:
             # refresh recency on hit (move_to_end equivalent for a

@@ -120,7 +120,7 @@ def _parse_y4m_header(content: bytes):
     if nl < 0:
         raise ValueError("y4m stream has no header line")
     w = h = None
-    num, den = 30, 1  # spec default when F is absent
+    num = den = None
     cs = b"420"
     for p in content[10:nl].split(b" "):
         if p.startswith(b"W"):
@@ -131,6 +131,13 @@ def _parse_y4m_header(content: bytes):
             num, den = (int(x) for x in p[1:].split(b":"))
         elif p.startswith(b"C"):
             cs = p[1:]
+    if num is None or den is None:
+        # YUV4MPEG2 has NO default frame rate — F is formally optional
+        # but every time-derived output (duration_ms, fps feature, the
+        # frame-sampler's tick->frame mapping) would be silently wrong
+        # under an invented one, so a rate-less clip degrades to
+        # 'unsupported' instead of decoding with fabricated timing
+        raise UnsupportedMediaError("y4m stream has no F (frame rate)")
     if w is None or h is None or w <= 0 or h <= 0 or num <= 0 or den <= 0:
         raise ValueError(f"bad y4m header dims {w}x{h} fps={num}:{den}")
     if cs in (b"420", b"420jpeg", b"420mpeg2", b"420paldv"):

@@ -128,7 +128,9 @@ def gopher_repetition(
     the standard repetition filter in large-scale corpus pipelines):
 
     - ``top_{n}gram_char_frac``: (count x gram chars) of the single
-      most frequent token n-gram, over the document's character count.
+      MOST FREQUENT token n-gram, over the document's character count;
+      count ties break toward the longer gram (deterministic on both
+      engines — the oracle takes a lexicographic (cnt, len) max).
     - ``dup_{n}gram_char_frac``: the same numerator summed over ALL
       n-grams occurring at least twice.
 
@@ -169,10 +171,21 @@ def gopher_repetition(
                         for i in range(len(toks) - n + 1)
                     )
                     if n in top_ns:
-                        top = max(
-                            (cnt * len(g) for g, cnt in counts.items()),
-                            default=0,
-                        )
+                        # chars covered by the MOST FREQUENT n-gram (the
+                        # Gopher/DataTrove rule), not max(count x len)
+                        # over all grams — a rarer-but-longer gram must
+                        # not win. Ties on count break toward the longer
+                        # gram (deterministic, and what the DuckDB
+                        # oracle's lexicographic (cnt, len) max does).
+                        if counts:
+                            max_cnt = max(counts.values())
+                            top = max_cnt * max(
+                                len(g)
+                                for g, c in counts.items()
+                                if c == max_cnt
+                            )
+                        else:
+                            top = 0
                         data[f"top_{n}gram_char_frac"].append(top / n_chars)
                     if n in dup_ns:
                         dup = sum(
@@ -201,7 +214,9 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
     """Per-document Gopher quality-rule metrics + verdict (Rae et al.
     2021, arXiv:2112.11446 §A1.1): word-count band, mean-word-length
     band, symbol-to-word ratio ('#' / '...' tokens), alphabetic-word
-    fraction, and minimum stopword hits. Returns every metric plus the
+    fraction, and a minimum of two DISTINCT stopwords present ("contain
+    at least two of the following English words"). Returns every metric
+    plus the
     combined ``passes`` so pipelines can threshold or inspect.
 
     All columns are whole-stage-codegen expressions — zero Python, one
@@ -211,7 +226,11 @@ def gopher_quality(documents: DataFrame) -> DataFrame:
     n_chars = F.length("text")
     mean_word_len = (n_chars - (n_words - 1)) / n_words
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(w, lambda t: F.array_contains(stop_arr, t)))
+    # DISTINCT stopwords present, not occurrences: the Gopher rule reads
+    # "contain at least two of the following English words", so 'the the'
+    # alone is ONE qualifying word, not two (array_intersect dedups,
+    # matching DuckDB list_intersect in the oracle)
+    n_stop = F.size(F.array_intersect(w, stop_arr))
     n_symbol = F.size(
         F.filter(w, lambda t: (t == F.lit("#")) | (t == F.lit("...")))
     )

@@ -1983,12 +1983,18 @@ WITH base AS (
 ), counts AS (
   SELECT doc_id, n_chars, n, gram, count(*) AS cnt
   FROM grams GROUP BY doc_id, n_chars, n, gram
-), per_n AS (
+), per_n0 AS (
+  -- most frequent gram; ties on count break toward the longer gram
+  -- (struct max compares lexicographically: cnt first, then len)
   SELECT doc_id, n_chars, n,
-         max(cnt * length(gram)) AS top_chars,
+         max({'cnt': cnt, 'len': length(gram)}) AS top_pair,
          coalesce(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) END), 0)
              AS dup_chars
   FROM counts GROUP BY doc_id, n_chars, n
+), per_n AS (
+  SELECT doc_id, n_chars, n,
+         top_pair.cnt * top_pair.len AS top_chars, dup_chars
+  FROM per_n0
 )
 SELECT doc_id,
   round(CAST(max(CASE WHEN n = 2 THEN top_chars END) AS DOUBLE) / n_chars, 4)
@@ -2033,7 +2039,7 @@ WITH base AS (
         AS n_symbol,
     CAST(len(list_filter(w, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT)
         AS n_alpha,
-    CAST(len(list_filter(w, t -> list_contains([{_STOP_SQL}], t)))
+    CAST(len(list_intersect(w, [{_STOP_SQL}]))
          AS BIGINT) AS n_stopwords
   FROM base
 )

@@ -23,6 +23,19 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+def _sink_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists on whatever filesystem serves it (local,
+    HDFS, S3A...). Probing existence explicitly — rather than catching
+    the read error — keeps "first batch, no sink yet" distinct from a
+    real IO/permission/corruption failure: the former must skip the
+    dedup join, the latter must ABORT the batch (a swallowed read error
+    would silently re-admit duplicates of already-accepted documents)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def stream_exact_dedup(
     spark: SparkSession,
     input_dir: str,
@@ -84,14 +97,13 @@ def stream_exact_dedup_catchup(
             .where(F.col("rn") == 1)
             .drop("rn")
         )
-        # probe the sink through Spark itself — os.path only works for
+        # probe the sink through Hadoop FS — os.path only works for
         # driver-local paths; HDFS/S3/Iceberg sinks must use the same
-        # reader that will serve the anti-join (r03 review)
-        try:
+        # filesystem that will serve the anti-join (r03 + r06 reviews:
+        # existence check, not try/except, so a transient read failure
+        # on batch N aborts instead of silently skipping the dedup)
+        if _sink_exists(spark, output_dir):
             seen = spark.read.parquet(output_dir).select("text_hash")
-        except Exception:  # noqa: BLE001 — sink not created yet
-            seen = None
-        if seen is not None:
             batch = batch.join(seen, on="text_hash", how="left_anti")
         batch.write.mode("append").parquet(output_dir)
 
@@ -178,13 +190,17 @@ def stream_near_dedup(
             survivors.select("doc_id"), on="doc_id", how="left_semi"
         ).persist()
         bands = minhash_bands(sigs, n_bands=n_bands, rows_per_band=rows_per_band)
-        # stage 2: greedy check against the accumulated index
-        try:
+        # stage 2: greedy check against the accumulated index (explicit
+        # existence probe: only a MISSING index means first batch — a
+        # read failure on an existing index must abort the batch, not
+        # silently admit near-duplicates of accepted docs)
+        if _sink_exists(spark, bands_dir) and _sink_exists(spark, sigs_dir):
             idx_bands = spark.read.parquet(bands_dir)
             idx_sigs = spark.read.parquet(sigs_dir)
-        except Exception:  # noqa: BLE001 — first batch, no index yet
+        else:
             idx_bands = None
             idx_sigs = None
+        dup_ids = None
         if idx_bands is not None:
             cand = (
                 bands.join(
@@ -213,10 +229,15 @@ def stream_near_dedup(
                     ).cast("double"),
                 )
             )
+            # persisted: three sinks (output, bands, sigs) each anti-join
+            # on dup_ids; without the cache the index join — the dominant
+            # stage-2 cost, growing with every accepted doc — would run 3x
+            # per batch
             dup_ids = (
                 est.where(F.col("est_jaccard") >= threshold)
                 .select("doc_id")
                 .distinct()
+                .persist()
             )
             survivors = survivors.join(dup_ids, on="doc_id", how="left_anti")
             sigs_out = sigs.join(dup_ids, on="doc_id", how="left_anti")
@@ -232,6 +253,8 @@ def stream_near_dedup(
         sigs_out.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(sigs_dir)
+        if dup_ids is not None:
+            dup_ids.unpersist()
         sigs.unpersist()
         sigs_all.unpersist()
 

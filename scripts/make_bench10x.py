@@ -68,6 +68,18 @@ def build(spark, sf_dir: str, out_dir: str, replicate: int = 10) -> None:
         return df.withColumn(col, (F.col("rep") * n + F.col(col)).cast("long"))
 
     counts = {t: rd(t).count() for t in ("part", "supplier", "customer")}
+    # shifts for SPARSE key spaces must come from max(key)+1, not row
+    # counts or fixed constants: TPC-H o_orderkey is sparse (max = 4x the
+    # row count) and a constant like 10_000_000 collides once
+    # 6_000_000*SF exceeds it (sf2+) — colliding replica ranges would
+    # silently duplicate keys and fan out every orders/lineitem join
+    okey_shift = (
+        rd("orders").agg(F.max("o_orderkey").cast("long")).first()[0] + 1
+    )
+    ev_maxes = rd("events").agg(
+        F.max("event_id").cast("long"), F.max("user_id").cast("long")
+    ).first()
+    eid_shift, uid_shift = ev_maxes[0] + 1, ev_maxes[1] + 1
 
     out: dict = {}
     out["region"] = rd("region")
@@ -83,17 +95,17 @@ def build(spark, sf_dir: str, out_dir: str, replicate: int = 10) -> None:
     out["customer"] = shift(cust, "c_custkey", counts["customer"]).drop("rep")
 
     orders = rd("orders").crossJoin(reps)
-    orders = shift(orders, "o_orderkey", 10_000_000)
+    orders = shift(orders, "o_orderkey", okey_shift)
     out["orders"] = shift(orders, "o_custkey", counts["customer"]).drop("rep")
 
     li = rd("lineitem").crossJoin(reps)
-    li = shift(li, "l_orderkey", 10_000_000)
+    li = shift(li, "l_orderkey", okey_shift)
     li = shift(li, "l_partkey", counts["part"])
     out["lineitem"] = shift(li, "l_suppkey", counts["supplier"]).drop("rep")
 
     ev = rd("events").crossJoin(reps)
-    ev = shift(ev, "event_id", 10_000_000)
-    out["events"] = shift(ev, "user_id", 1_000_000).drop("rep")
+    ev = shift(ev, "event_id", eid_shift)
+    out["events"] = shift(ev, "user_id", uid_shift).drop("rep")
 
     docs = rd("documents").crossJoin(reps)
     salted_tok = F.transform(
@@ -135,12 +147,45 @@ def build(spark, sf_dir: str, out_dir: str, replicate: int = 10) -> None:
         (out[name].repartition(n_part)
          .write.mode("overwrite")
          .parquet(f"{out_dir}/{name}.parquet"))
+    # written LAST so a crashed build never leaves a valid marker
+    with open(os.path.join(out_dir, "_SOURCE_FINGERPRINT"), "w") as fh:
+        fh.write(source_fingerprint(sf_dir))
 
 
-def is_built(out_dir: str) -> bool:
-    return all(
+def source_fingerprint(sf_dir: str) -> str:
+    """Digest of the source corpus identity: absolute path plus
+    (relative name, size, mtime) of every data file under it. Stored in
+    the built corpus and re-checked by ``is_built`` so a regenerated
+    source, or a DIFFERENT directory that happens to share the basename
+    (the out-dir cache key), forces a rebuild instead of silently
+    benchmarking a stale corpus."""
+    import hashlib
+
+    h = hashlib.sha256(os.path.abspath(sf_dir).encode())
+    for root, _dirs, files in sorted(os.walk(sf_dir)):
+        for f in sorted(files):
+            if f.startswith(("_", ".")):
+                continue
+            p = os.path.join(root, f)
+            st = os.stat(p)
+            rel = os.path.relpath(p, sf_dir)
+            h.update(f"{rel}:{st.st_size}:{int(st.st_mtime)}".encode())
+    return h.hexdigest()
+
+
+def is_built(out_dir: str, sf_dir: str | None = None) -> bool:
+    if not all(
         os.path.exists(f"{out_dir}/{t}.parquet/_SUCCESS") for t in TABLES
-    )
+    ):
+        return False
+    if sf_dir is None:
+        return True
+    marker = os.path.join(out_dir, "_SOURCE_FINGERPRINT")
+    try:
+        with open(marker) as fh:
+            return fh.read().strip() == source_fingerprint(sf_dir)
+    except OSError:
+        return False
 
 
 def default_out_dir(sf_dir: str) -> str:

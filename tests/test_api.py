@@ -955,3 +955,37 @@ def test_ingest_enforces_lowercase_prefix_invariant(spark, tmp_path):
     ext = catalog_from_parquet(spark, str(tmp_path))
     assert ext.get_id_name_mapping("extont") == {"7": "ext thing"}
     assert ext.get_id_name_mapping("ExtOnt") == {"7": "ext thing"}
+
+
+def test_cached_encoder_capacity_is_shared_max():
+    """The per-worker cache is shared across encoders: a default-capacity
+    encoder must not truncate the dict below a larger-capacity sibling's
+    working set (r06 review — eviction bound is the MAX registered
+    capacity, driver-side kernel test, no Spark needed)."""
+    from pyobo_spark.operators import embeddings as E
+
+    E._ENCODER_CACHE.clear()
+    E._ENCODER_CACHE_CAP = 2
+    loads: list[str] = []
+
+    def mk(name):
+        def loader():
+            loads.append(name)
+            return lambda texts: [name] * len(texts)
+
+        return loader
+
+    big = [
+        E.cached_encoder(mk(f"b{i}"), key=f"cap-b{i}", capacity=4)
+        for i in range(3)
+    ]
+    small = E.cached_encoder(mk("s"), key="cap-s")  # default capacity=2
+    for enc in big:
+        enc(["x"])
+    small(["x"])  # 4 resident; shared bound is 4 -> nothing evicted
+    for enc in big:
+        enc(["x"])  # all hits: the big encoders never reloaded
+    assert loads == ["b0", "b1", "b2", "s"]
+    assert len(E._ENCODER_CACHE) == 4
+    E._ENCODER_CACHE.clear()
+    E._ENCODER_CACHE_CAP = 2

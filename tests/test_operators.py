@@ -581,3 +581,51 @@ def test_cc_convergence_rounds_on_power_law_graph(spark):
     per_round = C.LAST_CC_STATS["edges_per_round"]
     assert rounds <= math.ceil(math.log2(path_len)) + 3, (rounds, per_round)
     assert max(per_round) <= 2.5 * len(edges), per_round
+
+
+def test_y4m_missing_frame_rate_is_unsupported():
+    """YUV4MPEG2 has no default frame rate: a clip without the F
+    parameter must degrade to 'unsupported' (r06 review) — every
+    time-derived output would be silently wrong under an invented
+    default."""
+    import pytest as _pytest
+
+    from pyobo_spark.operators import multimodal as M
+
+    no_f = b"YUV4MPEG2 W4 H4 C420\n" + b"FRAME\n" + bytes(24)
+    with _pytest.raises(M.UnsupportedMediaError):
+        M._parse_y4m_header(no_f)
+    # with F present the same payload parses fine
+    with_f = b"YUV4MPEG2 W4 H4 F10:1 C420\n"
+    w, h, num, den, pos, fsz = M._parse_y4m_header(with_f + b"FRAME\n" + bytes(24))
+    assert (w, h, num, den, fsz) == (4, 4, 10, 1, 24)
+
+
+def test_bench10x_fingerprint_invalidates_stale_corpus(tmp_path):
+    """is_built must reject a corpus whose recorded source fingerprint
+    no longer matches the source files (r06 review — basename-keyed
+    cache reuse after the source is regenerated)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import make_bench10x as MB
+
+    src = tmp_path / "sf-src"
+    src.mkdir()
+    (src / "documents.parquet").mkdir()
+    (src / "documents.parquet" / "part-0.parquet").write_bytes(b"v1")
+    out = tmp_path / "out"
+    out.mkdir()
+    for t in MB.TABLES:
+        d = out / f"{t}.parquet"
+        d.mkdir()
+        (d / "_SUCCESS").write_bytes(b"")
+    # no fingerprint marker yet -> not built (when source is supplied)
+    assert MB.is_built(str(out)) is True  # legacy shape-only check
+    assert MB.is_built(str(out), str(src)) is False
+    (out / "_SOURCE_FINGERPRINT").write_text(MB.source_fingerprint(str(src)))
+    assert MB.is_built(str(out), str(src)) is True
+    # regenerate the source -> fingerprint mismatch -> rebuild required
+    os.utime(src / "documents.parquet" / "part-0.parquet", (1, 1))
+    assert MB.is_built(str(out), str(src)) is False

@@ -74,3 +74,40 @@ def test_gopher_quality_verdict(spark):
     assert rows[2]["passes"] is False
     assert rows[3]["passes"] is False
     assert rows[3]["symbol_ratio"] == pytest.approx(round(58 / 60, 4))
+
+def test_gopher_top_gram_is_most_frequent_not_max_product(spark):
+    # 2-grams: "aa bb" x2 (len 5, product 10) vs "c d" x3 (len 3,
+    # product 9). The Gopher rule scores the MOST FREQUENT gram — 9/29 —
+    # not the max count*len product (a rarer-but-longer gram must lose).
+    text = "aa bb aa bb c d c d c d"  # tokens alternate; recount below
+    # tokens: aa bb aa bb c d c d c d -> 2-gram counts:
+    #   "aa bb" x2, "bb aa" x1, "bb c" x1, "c d" x3, "d c" x2
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    m = {r["doc_id"]: r.asDict() for r in (
+        textstats.gopher_repetition(docs, top_ns=(2,), dup_ns=(5,)).collect()
+    )}[1]
+    n_chars = len(text)
+    assert m["top_2gram_char_frac"] == pytest.approx(round(3 * 3 / n_chars, 4))
+
+
+def test_gopher_top_gram_count_tie_breaks_to_longer(spark):
+    # "aaa b aaa c": 2-grams "aaa b", "b aaa", "aaa c" all count 1 —
+    # tie breaks to the longest gram (len 5) deterministically
+    docs = spark.createDataFrame([(1, "aaa b aaa c")], "doc_id long, text string")
+    m = textstats.gopher_repetition(docs, top_ns=(2,), dup_ns=(5,)).collect()[0]
+    assert m["top_2gram_char_frac"] == pytest.approx(round(5 / 11, 4))
+
+
+def test_gopher_quality_stopwords_are_distinct(spark):
+    # 'the the' is ONE qualifying stopword, not two ("contain at least
+    # two of the following English words")
+    filler = " ".join(f"word{i}" for i in range(58))
+    docs = spark.createDataFrame(
+        [(1, f"the the {filler}"), (2, f"the of {filler}")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in textstats.gopher_quality(docs).collect()}
+    assert rows[1]["n_stopwords"] == 1
+    assert rows[1]["passes"] is False
+    assert rows[2]["n_stopwords"] == 2
+    assert rows[2]["passes"] is True
