@@ -110,7 +110,7 @@ def ontology_metadata(
 #: Formats in the order the reference tries them (getters.py:118-170);
 #: OWL-via-ROBOT is out of scope (SURVEY §7 — external Java tool), so the
 #: chain here is OBO flat file → OBO Graph JSON → SKOS/N-Triples → CSV.
-FORMAT_PRIORITY: tuple[str, ...] = ("obo", "obograph", "skos", "csv")
+FORMAT_PRIORITY: tuple[str, ...] = ("obo", "ofn", "obograph", "skos", "csv")
 
 
 class NoBuildError(RuntimeError):
@@ -126,10 +126,12 @@ def get_ontology(
     """Parse the highest-priority available format into long tables.
 
     `available` maps format name → source handle: OBO document text for
-    'obo', a JSON file path for 'obograph', an N-Triples file path for
-    'skos', or a (path, ColumnSpec) pair for 'csv'. Mirrors the
-    reference's get_ontology chain (getters.py:92-216), which prefers
-    the richest format and falls through on absence."""
+    'obo', a functional-OWL file path for 'ofn', a JSON file path for
+    'obograph', an N-Triples file path for 'skos', or a
+    (path, ColumnSpec) pair for 'csv'. Mirrors the reference's
+    get_ontology chain (getters.py:92-216), which prefers the richest
+    format and falls through on absence; 'ofn' sits where the
+    reference's OWL-via-ROBOT branch does (obo > owl > obograph)."""
     for fmt in FORMAT_PRIORITY:
         if fmt not in available:
             continue
@@ -138,6 +140,18 @@ def get_ontology(
             from ..sources.obo_reader import parse_obo_files
 
             return parse_obo_files(spark, [(prefix, str(handle))])
+        if fmt == "ofn":
+            from ..sources.ofn_reader import read_ofn
+
+            tables = read_ofn(spark, str(handle))
+            return {
+                k: df.where(
+                    F.col(
+                        "child_prefix" if k == "parents" else "prefix"
+                    ) == prefix.lower()
+                )
+                for k, df in tables.items()
+            }
         if fmt == "obograph":
             from ..sources.obograph import obograph_to_tables, read_obograph
 

@@ -105,12 +105,27 @@ name: from obo
         "<http://example.org/scheme> .\n"
     )
 
-    # all three present → obo wins
+    ofn_path = tmp_path / "g.ofn"
+    ofn_path.write_text(
+        "Prefix(owl:=<http://www.w3.org/2002/07/owl#>)\n"
+        "Ontology(<http://purl.obolibrary.org/obo/tsto.owl>\n"
+        "Declaration(Class(obo:TSTO_1))\n"
+        'AnnotationAssertion(rdfs:label obo:TSTO_1 "from ofn")\n'
+        ")\n"
+    )
+
+    # all four present → obo wins
     tables = get_ontology(spark, "tsto", {
-        "obo": obo_text, "obograph": str(og_path), "skos": str(nt_path),
+        "obo": obo_text, "ofn": str(ofn_path),
+        "obograph": str(og_path), "skos": str(nt_path),
     })
     assert [r["name"] for r in tables["terms"].collect()] == ["from obo"]
-    # obo absent → obograph wins
+    # obo absent → ofn wins (the reference's OWL slot: obo > owl > json)
+    tables = get_ontology(spark, "tsto", {
+        "ofn": str(ofn_path), "obograph": str(og_path), "skos": str(nt_path),
+    })
+    assert [r["name"] for r in tables["terms"].collect()] == ["from ofn"]
+    # ofn absent → obograph wins
     tables = get_ontology(spark, "tsto", {
         "obograph": str(og_path), "skos": str(nt_path),
     })

@@ -103,3 +103,43 @@ def test_ofn_reader_escaping_and_colon_targets(spark):
     assert (td["prefix"], td["identifier"], td["name"]) == (
         "bfo", "0000050", "part of",
     )
+
+
+def test_ofn_literal_escaping_round_trip_stress(spark):
+    """200 adversarial names (quotes, backslashes, unicode, parens,
+    OFN-syntax lookalikes) survive ofn_document -> parse_ofn_lines
+    exactly. Deterministic generation — no RNG."""
+    import itertools
+
+    atoms = ['"', "\\", '\\"', "\\\\", "a", "ü", "漢", "(", ")", " ",
+             "obo:FAKE_1", "AnnotationAssertion(", "^^xsd:boolean"]
+    names = []
+    for i, combo in enumerate(itertools.product(atoms, repeat=2)):
+        names.append("x" + "".join(combo) + f"y{i}")
+        if len(names) >= 200:
+            break
+    terms = spark.createDataFrame(
+        [("fixo", f"{i:07d}", nm, None, False) for i, nm in enumerate(names)],
+        "prefix string, identifier string, name string, definition string, "
+        "is_obsolete boolean",
+    )
+    empty = lambda ddl: spark.createDataFrame([], ddl)  # noqa: E731
+    doc = ofn_writer.ofn_document(
+        terms,
+        empty("prefix string, identifier string, text string, predicate string"),
+        empty("prefix string, identifier string, predicate string, "
+              "target_prefix string, target_id string"),
+        empty("prefix string, identifier string, relation_prefix string, "
+              "relation_id string, target_prefix string, target_id string"),
+        empty("child_prefix string, child string, parent_prefix string, "
+              "parent string"),
+        empty("prefix string, identifier string, alt_id string"),
+        "fixo",
+    )
+    lines = spark.createDataFrame(
+        [(s,) for s in doc.split("\n")], "value string"
+    )
+    got = ofn_reader.parse_ofn_lines(lines)
+    back = {r["identifier"]: r["name"] for r in got["terms"].collect()}
+    want = {f"{i:07d}": nm for i, nm in enumerate(names)}
+    assert back == want
