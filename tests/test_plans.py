@@ -270,3 +270,22 @@ def test_ann_cosine_lsh_exactly_two_shuffles(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ofn_reader_families_are_map_only(spark, tmp_path):
+    """Every OFN axiom family except terms/typedefs (which join their
+    label/definition assertions) must plan as scan -> regexp filter ->
+    project with ZERO Exchange — the property that lets a multi-GB OFN
+    document parse at input-split parallelism."""
+    from pyobo_spark.sources import ofn_reader
+
+    p = tmp_path / "g.ofn"
+    p.write_text(
+        "Declaration(Class(obo:FIXO_1))\n"
+        "SubClassOf(obo:FIXO_1 obo:FIXO_2)\n"
+    )
+    tables = ofn_reader.read_ofn(spark, str(p))
+    for name in ("synonyms", "xrefs", "relations", "parents", "alts",
+                 "disjoints"):
+        plan = _formatted_plan(tables[name])
+        assert "Exchange" not in plan, f"{name} plan shuffles:\n{plan}"
