@@ -162,6 +162,25 @@ def _spread_narrow_input(documents: DataFrame) -> DataFrame:
 _OWNED_SIG_CACHES: list[DataFrame] = []
 
 
+def _same_semantics(old: DataFrame, new: DataFrame) -> bool:
+    """sameSemantics that treats a handle from a STOPPED SparkSession as
+    'different' instead of raising — the module-level registry can
+    outlive the session that created its entries (stop() + new session
+    in a notebook), and a dead handle must never crash a valid call in
+    the fresh session."""
+    try:
+        return old.sameSemantics(new)
+    except Exception:  # noqa: BLE001 — stopped-session handle
+        return False
+
+
+def _safe_unpersist(df: DataFrame) -> None:
+    try:
+        df.unpersist()
+    except Exception:  # noqa: BLE001 — stopped-session handle: the
+        pass  # cache died with its SparkContext; nothing to release
+
+
 def minhash_near_duplicates(
     documents: DataFrame,
     n_perm: int = 64,
@@ -196,8 +215,8 @@ def minhash_near_duplicates(
             _spread_narrow_input(documents), n_perm=n_perm
         )
         for old in _OWNED_SIG_CACHES:
-            if not old.sameSemantics(sig_plan):
-                old.unpersist()
+            if not _same_semantics(old, sig_plan):
+                _safe_unpersist(old)
         # The signatures feed THREE consumers: both sides of the banded
         # self-join and both sides of the estimate join below. The band
         # self-join's identical sides collapse to a ReusedExchange, but
@@ -360,9 +379,21 @@ def near_dup_clusters(
     """
     owns_sigs = signatures is None
     if owns_sigs:
-        signatures = minhash_signatures(
+        sig_plan = minhash_signatures(
             _spread_narrow_input(documents), n_perm=n_perm
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        for owned in _OWNED_SIG_CACHES:
+            if _same_semantics(owned, sig_plan):
+                # minhash_near_duplicates' registry already owns this
+                # exact plan's cache (CacheManager is plan-keyed, so
+                # persisting again would alias it and the unpersist
+                # below would evict it out from under the owner) —
+                # borrow the owned handle and release nothing
+                signatures = owned
+                owns_sigs = False
+                break
+        else:
+            signatures = sig_plan.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = minhash_near_duplicates(
         documents,
         n_perm=n_perm,

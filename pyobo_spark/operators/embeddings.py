@@ -57,12 +57,16 @@ def _fake_embed(col, dim: int):
 #: worker simply rebuilds it on first use. Mirrors the reference loading
 #: MiniLM once behind @lru_cache (api/embedding.py:117-118).
 _ENCODER_CACHE: dict[str, Callable] = {}
-# Effective eviction bound for the SHARED per-worker cache above: the max
-# capacity any cached_encoder has registered in this process. A per-call
-# bound would let a default-capacity encoder truncate the dict below a
-# larger-capacity sibling's working set, evicting resident multi-GB
-# models the larger caller is actively rotating.
-_ENCODER_CACHE_CAP: int = 2
+# Per-key creator capacities for the SHARED per-worker cache above. The
+# effective eviction bound is max(capacities of keys currently RESIDENT)
+# — two properties fall out: (a) a default-capacity encoder can never
+# truncate the dict below a larger-capacity sibling's working set
+# (per-call bounds would evict resident multi-GB models the larger
+# caller is rotating); (b) the bound DECAYS — once a high-capacity
+# encoder's entry ages out via LRU, its capacity no longer holds slots
+# open, so one one-off capacity=8 job doesn't pin 8 superseded models
+# in every reused worker for the process lifetime.
+_ENCODER_CAPS: dict[str, int] = {}
 
 
 def cached_encoder(
@@ -84,9 +88,10 @@ def cached_encoder(
     (true LRU — hits refresh recency, so a job alternating among
     ``capacity`` models never thrashes; raise it per call if a worker
     must juggle more). The cache is SHARED per worker, so the effective
-    bound is the max capacity any encoder has registered — a
+    bound is the max capacity among encoders currently RESIDENT — a
     default-capacity encoder can't shrink the cache under a
-    larger-capacity one.
+    larger-capacity one, and the bound decays back once the
+    high-capacity entries age out via LRU.
     """
     if key is None:
         import hashlib
@@ -107,11 +112,8 @@ def cached_encoder(
 
         mod = importlib.import_module(__name__)
         cache = mod._ENCODER_CACHE
-        # capacities compose across encoders sharing the worker cache:
-        # the bound only ever grows, so a capacity=2 encoder can never
-        # evict entries a capacity=4 sibling is rotating through
-        if cap > mod._ENCODER_CACHE_CAP:
-            mod._ENCODER_CACHE_CAP = cap
+        caps = mod._ENCODER_CAPS
+        caps[k] = cap
         enc = cache.get(k)
         if enc is None:
             enc = loader()
@@ -122,8 +124,10 @@ def cached_encoder(
             # (dicts iterate in insertion order; the hit path below
             # re-inserts on use, so iteration order IS recency order) —
             # pure FIFO would evict the hottest encoder when a job
-            # alternates among capacity+1 keys.
-            while len(cache) > mod._ENCODER_CACHE_CAP:
+            # alternates among capacity+1 keys. Bound = max capacity of
+            # RESIDENT keys (see _ENCODER_CAPS): composes across sharing
+            # encoders and decays as high-capacity entries age out.
+            while len(cache) > max(caps.get(key_, 1) for key_ in cache):
                 cache.pop(next(iter(cache)))
         else:
             # refresh recency on hit (move_to_end equivalent for a

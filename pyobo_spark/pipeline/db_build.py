@@ -143,8 +143,9 @@ def get_ontology(
         if fmt == "ofn":
             from ..sources.ofn_reader import read_ofn
 
-            tables = read_ofn(spark, str(handle))
-            return {
+            tables = read_ofn(spark, str(handle), persist_lines=True)
+            unpersist = tables.pop("unpersist")
+            out = {
                 k: df.where(
                     F.col(
                         "child_prefix" if k == "parents" else "prefix"
@@ -152,6 +153,16 @@ def get_ontology(
                 )
                 for k, df in tables.items()
             }
+            # dialect sanity check: read_ofn's anchored patterns cover
+            # the engine's own writer subset; a foreign OFN (full IRIs,
+            # annotated axioms, per-prefix CURIEs) matches nothing and
+            # would otherwise "build" an empty ontology silently —
+            # fall through to the next available format instead
+            if out["terms"].limit(1).count() == 0:
+                unpersist()
+                continue
+            out["unpersist"] = unpersist
+            return out
         if fmt == "obograph":
             from ..sources.obograph import obograph_to_tables, read_obograph
 

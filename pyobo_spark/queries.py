@@ -1035,9 +1035,12 @@ SELECT id_a, id_b, round(cosine, 4) AS cosine FROM pairs WHERE cosine >= 0.8
 
 
 def q_hierarchy_edges(spark, sf_dir):
+    # pre-dedup relations: hierarchy_edges ends in .distinct() on the
+    # edge set, so an upstream relation-row dedup is a redundant second
+    # shuffle of the filtered corpus (measured at 10x bench scale)
     return hierarchy.hierarchy_edges(
         tp.parents(spark, sf_dir),
-        tp.relations_raw(spark, sf_dir),
+        tp.relations_raw_nodedup(spark, sf_dir),
         prefix="fixp",
         include=(("BFO", "0000050"),),
         include_reversed=(("RO", "0002162"),),

@@ -84,28 +84,45 @@ def parse_ofn_lines(lines: DataFrame) -> dict[str, DataFrame]:
             ]
         )
 
+    # the term-assembly inputs must be 1:1 per (prefix, identifier) or
+    # the join chain below fans out: a legal external OFN may assert two
+    # labels / definitions for one class (the writer never does), so
+    # declarations dedup and annotations aggregate deterministically
+    # (lexicographic min on conflict)
     decl = lower(
         _extract(lines, _PATTERNS["decl_class"], ["prefix", "identifier"]),
         "prefix",
+    ).distinct()
+    labels = (
+        lower(
+            _extract(
+                lines, _PATTERNS["label"], ["prefix", "identifier", "name"]
+            ).withColumn("name", _unesc(F.col("name"))),
+            "prefix",
+        )
+        .groupBy("prefix", "identifier")
+        .agg(F.min("name").alias("name"))
     )
-    labels = lower(
-        _extract(
-            lines, _PATTERNS["label"], ["prefix", "identifier", "name"]
-        ).withColumn("name", _unesc(F.col("name"))),
-        "prefix",
+    defs = (
+        lower(
+            _extract(
+                lines,
+                _PATTERNS["definition"],
+                ["prefix", "identifier", "definition"],
+            ).withColumn("definition", _unesc(F.col("definition"))),
+            "prefix",
+        )
+        .groupBy("prefix", "identifier")
+        .agg(F.min("definition").alias("definition"))
     )
-    defs = lower(
-        _extract(
-            lines,
-            _PATTERNS["definition"],
-            ["prefix", "identifier", "definition"],
-        ).withColumn("definition", _unesc(F.col("definition"))),
-        "prefix",
+    deprecated = (
+        lower(
+            _extract(lines, _PATTERNS["deprecated"], ["prefix", "identifier"]),
+            "prefix",
+        )
+        .distinct()
+        .withColumn("is_obsolete", F.lit(True))
     )
-    deprecated = lower(
-        _extract(lines, _PATTERNS["deprecated"], ["prefix", "identifier"]),
-        "prefix",
-    ).withColumn("is_obsolete", F.lit(True))
     terms = (
         decl.join(labels, on=["prefix", "identifier"], how="left")
         .join(defs, on=["prefix", "identifier"], how="left")
@@ -219,7 +236,7 @@ def parse_ofn_lines(lines: DataFrame) -> dict[str, DataFrame]:
     prop_decl = lower(
         _extract(lines, _PATTERNS["decl_prop"], ["prefix", "identifier"]),
         "prefix",
-    )
+    ).distinct()
     typedefs = (
         prop_decl.join(labels, on=["prefix", "identifier"], how="left")
         .select("prefix", "identifier", "name")
@@ -237,9 +254,34 @@ def parse_ofn_lines(lines: DataFrame) -> dict[str, DataFrame]:
     }
 
 
-def read_ofn(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+def read_ofn(
+    spark: SparkSession, path: str, persist_lines: bool = False
+) -> dict[str, DataFrame]:
     """Read an OFN document (file, directory of part files, or glob)
     into the engine's long tables. Newline-splittable, so a multi-GB
     uncompressed document scans in parallel; each returned table is an
-    independent map-only selection over the same text scan."""
-    return parse_ofn_lines(spark.read.text(path))
+    independent map-only selection over the same text scan.
+
+    ``persist_lines``: callers that materialize SEVERAL of the returned
+    tables (the db-build pipeline reads all eight) should pass True —
+    otherwise every table's action re-scans and re-regexes the whole
+    document (~15 scans for a full build: terms alone joins four
+    families). The cache is the raw line table (MEMORY_AND_DISK, spills,
+    never recomputes) and the returned dict then carries an
+    ``"unpersist"`` callback that owns its release — same contract as
+    ``mesh_source.read_mesh``."""
+    lines = spark.read.text(path)
+    if not persist_lines:
+        return parse_ofn_lines(lines)
+    from pyspark.storagelevel import StorageLevel
+
+    cached = lines.persist(StorageLevel.MEMORY_AND_DISK)
+    tables = parse_ofn_lines(cached)
+
+    def unpersist(blocking: bool = False) -> None:
+        """Release the shared line cache (the returned tables are
+        derived selections — unpersisting THEM would not free it)."""
+        cached.unpersist(blocking)
+
+    tables["unpersist"] = unpersist
+    return tables

@@ -23,17 +23,28 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def _sink_exists(spark: SparkSession, path: str) -> bool:
-    """True iff ``path`` exists on whatever filesystem serves it (local,
-    HDFS, S3A...). Probing existence explicitly — rather than catching
-    the read error — keeps "first batch, no sink yet" distinct from a
+def _sink_has_data(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds at least one COMMITTED data file (a
+    visible, non-underscore/dot entry) on whatever filesystem serves it
+    (local, HDFS, S3A...). Probing committed data explicitly — rather
+    than catching the read error — keeps "no sink yet" distinct from a
     real IO/permission/corruption failure: the former must skip the
     dedup join, the latter must ABORT the batch (a swallowed read error
-    would silently re-admit duplicates of already-accepted documents)."""
+    would silently re-admit duplicates of already-accepted documents).
+    Mere directory existence is NOT enough: a batch killed mid-write
+    leaves the dir with only ``_temporary``, and read.parquet on that
+    raises 'unable to infer schema' forever — by this function's
+    contract that state is still "no sink yet", and the replayed batch
+    must proceed without the join instead of wedging the stream."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
+    if not fs.exists(hpath):
+        return False
+    for st in fs.listStatus(hpath):
+        if not st.getPath().getName().startswith(("_", ".")):
+            return True
+    return False
 
 
 def stream_exact_dedup(
@@ -100,9 +111,9 @@ def stream_exact_dedup_catchup(
         # probe the sink through Hadoop FS — os.path only works for
         # driver-local paths; HDFS/S3/Iceberg sinks must use the same
         # filesystem that will serve the anti-join (r03 + r06 reviews:
-        # existence check, not try/except, so a transient read failure
-        # on batch N aborts instead of silently skipping the dedup)
-        if _sink_exists(spark, output_dir):
+        # committed-data check, not try/except, so a transient read
+        # failure on batch N aborts instead of silently skipping dedup)
+        if _sink_has_data(spark, output_dir):
             seen = spark.read.parquet(output_dir).select("text_hash")
             batch = batch.join(seen, on="text_hash", how="left_anti")
         batch.write.mode("append").parquet(output_dir)
@@ -172,91 +183,104 @@ def stream_near_dedup(
         docs = batch_df.select("doc_id", "text")
         # ONE Arrow signature pass per batch: injected into stage 1
         # (which releases nothing on injected signatures — this function
-        # owns the cache and unpersists both handles at the end, so a
-        # long-running stream never accumulates pinned per-batch caches)
-        # and reused for the survivor index rows below via a semi-join
-        # on the cache instead of a second shingle+matmul pass.
+        # owns the caches and releases them in the finally, so a
+        # long-running stream never accumulates pinned per-batch caches
+        # EVEN when a sink write throws and the batch retries) and
+        # reused for the survivor index rows below via a semi-join on
+        # the cache instead of a second shingle+matmul pass.
+        sigs = dup_ids = None
         sigs_all = minhash_signatures(docs, n_perm=n_perm).persist()
-        # stage 1: in-batch transitive canonicalization
-        clusters = near_dup_clusters(
-            docs,
-            n_perm=n_perm,
-            n_bands=n_bands,
-            threshold=threshold,
-            signatures=sigs_all,
-        )
-        survivors = dedup_keep_canonical(batch_df, clusters)
-        sigs = sigs_all.join(
-            survivors.select("doc_id"), on="doc_id", how="left_semi"
-        ).persist()
-        bands = minhash_bands(sigs, n_bands=n_bands, rows_per_band=rows_per_band)
-        # stage 2: greedy check against the accumulated index (explicit
-        # existence probe: only a MISSING index means first batch — a
-        # read failure on an existing index must abort the batch, not
-        # silently admit near-duplicates of accepted docs)
-        if _sink_exists(spark, bands_dir) and _sink_exists(spark, sigs_dir):
-            idx_bands = spark.read.parquet(bands_dir)
-            idx_sigs = spark.read.parquet(sigs_dir)
-        else:
-            idx_bands = None
-            idx_sigs = None
-        dup_ids = None
-        if idx_bands is not None:
-            cand = (
-                bands.join(
-                    idx_bands.select(
-                        F.col("doc_id").alias("old_id"), "band_idx", "band_hash"
-                    ),
-                    on=["band_idx", "band_hash"],
-                )
-                .select("doc_id", "old_id")
-                .distinct()
+        try:
+            # stage 1: in-batch transitive canonicalization
+            clusters = near_dup_clusters(
+                docs,
+                n_perm=n_perm,
+                n_bands=n_bands,
+                threshold=threshold,
+                signatures=sigs_all,
             )
-            est = (
-                cand.join(sigs, on="doc_id")
-                .join(
-                    idx_sigs.select(
-                        F.col("doc_id").alias("old_id"),
-                        F.col("sig").alias("old_sig"),
-                    ),
-                    on="old_id",
-                )
-                .withColumn(
-                    "est_jaccard",
-                    F.expr(
-                        "size(filter(zip_with(sig, old_sig, (x, y) -> x = y),"
-                        f" v -> v)) / {n_perm}"
-                    ).cast("double"),
-                )
+            survivors = dedup_keep_canonical(batch_df, clusters)
+            sigs = sigs_all.join(
+                survivors.select("doc_id"), on="doc_id", how="left_semi"
+            ).persist()
+            bands = minhash_bands(
+                sigs, n_bands=n_bands, rows_per_band=rows_per_band
             )
-            # persisted: three sinks (output, bands, sigs) each anti-join
-            # on dup_ids; without the cache the index join — the dominant
-            # stage-2 cost, growing with every accepted doc — would run 3x
-            # per batch
-            dup_ids = (
-                est.where(F.col("est_jaccard") >= threshold)
-                .select("doc_id")
-                .distinct()
-                .persist()
-            )
-            survivors = survivors.join(dup_ids, on="doc_id", how="left_anti")
-            sigs_out = sigs.join(dup_ids, on="doc_id", how="left_anti")
-            bands_out = bands.join(dup_ids, on="doc_id", how="left_anti")
-        else:
-            sigs_out = sigs
-            bands_out = bands
-        stamped = survivors.withColumn("batch_id", F.lit(batch_id))
-        stamped.write.mode("append").parquet(output_dir)
-        bands_out.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(bands_dir)
-        sigs_out.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(sigs_dir)
-        if dup_ids is not None:
-            dup_ids.unpersist()
-        sigs.unpersist()
-        sigs_all.unpersist()
+            # stage 2: greedy check against the accumulated index
+            # (committed-data probe: only a MISSING/uncommitted index
+            # means first batch — a read failure on an existing index
+            # must abort the batch, not silently admit near-duplicates
+            # of accepted docs)
+            if _sink_has_data(spark, bands_dir) and _sink_has_data(
+                spark, sigs_dir
+            ):
+                idx_bands = spark.read.parquet(bands_dir)
+                idx_sigs = spark.read.parquet(sigs_dir)
+            else:
+                idx_bands = None
+                idx_sigs = None
+            if idx_bands is not None:
+                cand = (
+                    bands.join(
+                        idx_bands.select(
+                            F.col("doc_id").alias("old_id"),
+                            "band_idx",
+                            "band_hash",
+                        ),
+                        on=["band_idx", "band_hash"],
+                    )
+                    .select("doc_id", "old_id")
+                    .distinct()
+                )
+                est = (
+                    cand.join(sigs, on="doc_id")
+                    .join(
+                        idx_sigs.select(
+                            F.col("doc_id").alias("old_id"),
+                            F.col("sig").alias("old_sig"),
+                        ),
+                        on="old_id",
+                    )
+                    .withColumn(
+                        "est_jaccard",
+                        F.expr(
+                            "size(filter(zip_with(sig, old_sig,"
+                            f" (x, y) -> x = y), v -> v)) / {n_perm}"
+                        ).cast("double"),
+                    )
+                )
+                # persisted: three sinks (output, bands, sigs) each
+                # anti-join on dup_ids; without the cache the index join
+                # — the dominant stage-2 cost, growing with every
+                # accepted doc — would run 3x per batch
+                dup_ids = (
+                    est.where(F.col("est_jaccard") >= threshold)
+                    .select("doc_id")
+                    .distinct()
+                    .persist()
+                )
+                survivors = survivors.join(
+                    dup_ids, on="doc_id", how="left_anti"
+                )
+                sigs_out = sigs.join(dup_ids, on="doc_id", how="left_anti")
+                bands_out = bands.join(dup_ids, on="doc_id", how="left_anti")
+            else:
+                sigs_out = sigs
+                bands_out = bands
+            stamped = survivors.withColumn("batch_id", F.lit(batch_id))
+            stamped.write.mode("append").parquet(output_dir)
+            bands_out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(bands_dir)
+            sigs_out.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(sigs_dir)
+        finally:
+            if dup_ids is not None:
+                dup_ids.unpersist()
+            if sigs is not None:
+                sigs.unpersist()
+            sigs_all.unpersist()
 
     stream = (
         spark.readStream.schema(schema)

@@ -965,7 +965,7 @@ def test_cached_encoder_capacity_is_shared_max():
     from pyobo_spark.operators import embeddings as E
 
     E._ENCODER_CACHE.clear()
-    E._ENCODER_CACHE_CAP = 2
+    E._ENCODER_CAPS.clear()
     loads: list[str] = []
 
     def mk(name):
@@ -982,10 +982,19 @@ def test_cached_encoder_capacity_is_shared_max():
     small = E.cached_encoder(mk("s"), key="cap-s")  # default capacity=2
     for enc in big:
         enc(["x"])
-    small(["x"])  # 4 resident; shared bound is 4 -> nothing evicted
+    small(["x"])  # 4 resident; bound = max resident cap = 4 -> no evict
     for enc in big:
         enc(["x"])  # all hits: the big encoders never reloaded
     assert loads == ["b0", "b1", "b2", "s"]
     assert len(E._ENCODER_CACHE) == 4
+    # decay: churn past the high-capacity entries' LRU positions evicts
+    # them, and with only capacity-2 keys resident the bound falls to 2
+    churn = [
+        E.cached_encoder(mk(f"c{i}"), key=f"cap-c{i}") for i in range(5)
+    ]
+    for enc in churn:
+        enc(["x"])
+    assert len(E._ENCODER_CACHE) == 2
+    assert all(k.startswith("cap-c") for k in E._ENCODER_CACHE)
     E._ENCODER_CACHE.clear()
-    E._ENCODER_CACHE_CAP = 2
+    E._ENCODER_CAPS.clear()

@@ -308,3 +308,32 @@ def test_streaming_near_dedup_incremental(spark, tmp_path):
     # never pollute future candidate joins
     sigs = spark.read.parquet(f"{idx_dir}/sigs")
     assert {r["doc_id"] for r in sigs.select("doc_id").collect()} == {1, 3, 5}
+
+
+def test_streaming_dedup_uncommitted_sink_is_no_sink(spark, tmp_path):
+    """A batch killed mid-write leaves the sink dir with only
+    `_temporary` — the committed-data probe must treat that as 'no sink
+    yet' (the replayed batch proceeds without the anti-join) instead of
+    wedging every restart on read.parquet's schema-inference error
+    (r06 review)."""
+    from pyobo_spark.streaming.dedup import (
+        _sink_has_data,
+        stream_exact_dedup_catchup,
+    )
+
+    in_dir = str(tmp_path / "din")
+    out_dir = tmp_path / "dout"
+    ckpt = str(tmp_path / "dckpt")
+    # simulate the crash artifact: sink dir exists, zero committed files
+    (out_dir / "_temporary" / "0").mkdir(parents=True)
+    (out_dir / "_SUCCESS").write_bytes(b"")
+    assert _sink_has_data(spark, str(out_dir)) is False
+
+    spark.createDataFrame(
+        [(1, "alpha doc"), (2, "beta doc")], SCHEMA
+    ).write.mode("append").parquet(in_dir)
+    stream_exact_dedup_catchup(spark, in_dir, SCHEMA, ckpt, str(out_dir))
+    got = spark.read.parquet(str(out_dir))
+    assert {r["doc_id"] for r in got.collect()} == {1, 2}
+    # and once data IS committed the probe flips
+    assert _sink_has_data(spark, str(out_dir)) is True
