@@ -143,3 +143,52 @@ def test_ofn_literal_escaping_round_trip_stress(spark):
     back = {r["identifier"]: r["name"] for r in got["terms"].collect()}
     want = {f"{i:07d}": nm for i, nm in enumerate(names)}
     assert back == want
+
+
+def test_ofn_persist_lines_caches_and_releases(spark, tmp_path):
+    """persist_lines=True returns an 'unpersist' callback owning the
+    shared line cache (mesh_source contract) — all eight tables read the
+    cache, and the callback releases it."""
+    p = tmp_path / "g.ofn"
+    p.write_text(
+        "Declaration(Class(obo:FIXO_1))\n"
+        'AnnotationAssertion(rdfs:label obo:FIXO_1 "x")\n'
+    )
+    got = ofn_reader.read_ofn(spark, str(p), persist_lines=True)
+    release = got.pop("unpersist")
+    assert callable(release)
+    assert sorted(got) == [
+        "alts", "disjoints", "parents", "relations", "synonyms",
+        "terms", "typedefs", "xrefs",
+    ]
+    rows = got["terms"].collect()
+    assert [(r["identifier"], r["name"]) for r in rows] == [("1", "x")]
+    # the cache is registered while held and released by the callback
+    # (relative count: the module-scoped session may hold other caches)
+    sc = spark.sparkContext
+    held = len(sc._jsc.getPersistentRDDs())
+    assert held > 0
+    release(blocking=True)
+    assert len(sc._jsc.getPersistentRDDs()) < held
+
+
+def test_ofn_duplicate_assertions_do_not_fan_out(spark):
+    """A legal external OFN may assert two labels/definitions for one
+    class — the term-assembly joins must aggregate (lexicographic min),
+    not fan out into duplicate term rows (r06 review)."""
+    doc = [
+        "Declaration(Class(obo:FIXO_1))",
+        "Declaration(Class(obo:FIXO_1))",
+        'AnnotationAssertion(rdfs:label obo:FIXO_1 "beta")',
+        'AnnotationAssertion(rdfs:label obo:FIXO_1 "alpha")',
+        'AnnotationAssertion(obo:IAO_0000115 obo:FIXO_1 "d2")',
+        'AnnotationAssertion(obo:IAO_0000115 obo:FIXO_1 "d1")',
+        'AnnotationAssertion(owl:deprecated obo:FIXO_1 "true"^^xsd:boolean)',
+        'AnnotationAssertion(owl:deprecated obo:FIXO_1 "true"^^xsd:boolean)',
+    ]
+    lines = spark.createDataFrame([(s,) for s in doc], "value string")
+    t = ofn_reader.parse_ofn_lines(lines)["terms"].collect()
+    assert len(t) == 1
+    assert (t[0]["name"], t[0]["definition"], t[0]["is_obsolete"]) == (
+        "alpha", "d1", True,
+    )
