@@ -152,8 +152,13 @@ def _parse_y4m_header(content: bytes):
     elif cs == b"mono":
         frame_size = w * h
     else:
-        raise UnsupportedMediaError(f"y4m colorspace C{cs.decode()} "
-                                    "not supported")
+        raise UnsupportedMediaError(
+            # errors='replace': an arbitrary-bytes colorspace token must
+            # surface as 'unsupported', not explode into a
+            # UnicodeDecodeError that the degrade path would misfile as
+            # 'corrupt'
+            f"y4m colorspace C{cs.decode(errors='replace')} not supported"
+        )
     return w, h, num, den, nl + 1, frame_size
 
 

@@ -169,3 +169,45 @@ def test_decoder_never_hangs_or_corrupts_status(blob):
             assert meta["width"] == w and meta["height"] == h
         else:  # audio
             assert out.ndim == 1 and meta["sample_rate"] > 0
+
+
+@given(st.binary(min_size=0, max_size=96))
+@settings(max_examples=300, deadline=None)
+def test_y4m_header_parse_total(suffix):
+    """The y4m header parser is total over arbitrary bytes after the
+    magic: it returns consistent positive dimensions or raises exactly
+    ValueError (corrupt) / UnsupportedMediaError (legal-but-unhandled) —
+    never UnicodeDecodeError or anything the per-row degrade paths would
+    misclassify."""
+    from pyobo_spark.operators import multimodal as M
+
+    content = b"YUV4MPEG2 " + suffix
+    try:
+        w, h, num, den, pos, fsz = M._parse_y4m_header(content)
+    except M.UnsupportedMediaError:
+        return
+    except ValueError:
+        return
+    assert w > 0 and h > 0 and num > 0 and den > 0
+    assert fsz > 0 and 0 <= pos <= len(content)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),
+            max_size=40,
+        ),
+        max_size=15,
+    )
+)
+@settings(max_examples=300, deadline=None)
+def test_expasy_chunk_parser_total(lines):
+    """The ExPASy record parser is total over arbitrary line soup: never
+    raises, and every emitted record carries a non-empty identifier (a
+    chunk with no ID line yields nothing)."""
+    from pyobo_spark.sources.expasy_source import _parse_records_in_chunk
+
+    recs = _parse_records_in_chunk("\n".join(lines))
+    for rec in recs:
+        assert rec[0]  # identifier present and non-empty
