@@ -131,7 +131,12 @@ def get_ontology(
     (path, ColumnSpec) pair for 'csv'. Mirrors the reference's
     get_ontology chain (getters.py:92-216), which prefers the richest
     format and falls through on absence; 'ofn' sits where the
-    reference's OWL-via-ROBOT branch does (obo > owl > obograph)."""
+    reference's OWL-via-ROBOT branch does (obo > owl > obograph).
+
+    The 'ofn' result additionally carries an ``"unpersist"`` callback
+    (the shared line cache's release — same convention as
+    ``mesh_source.read_mesh``); treat non-DataFrame values accordingly
+    when iterating the returned dict."""
     for fmt in FORMAT_PRIORITY:
         if fmt not in available:
             continue
