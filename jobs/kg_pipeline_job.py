@@ -26,6 +26,12 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=1000)
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--skip-obsolete", action="store_true")
+    ap.add_argument(
+        "--snapshot-table",
+        default=None,
+        help="optional SnapshotTable root: each run commits the triples "
+        "as one immutable snapshot (time travel / rollback across runs)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -59,8 +65,19 @@ def main() -> None:
             counter_cols=("prefix",) if counter else (),
         )
 
+    snapshot_id = None
+    if args.snapshot_table:
+        from pyobo_spark.pipeline.snapshots import SnapshotTable
+
+        snapshot_id = SnapshotTable(spark, args.snapshot_table).overwrite(
+            outputs["triples"]
+        )
+
     report = runner.lineage_report()
-    print(json.dumps({"pipeline": "kg_build", "stages": report}))
+    print(json.dumps({
+        "pipeline": "kg_build", "stages": report,
+        "triples_snapshot_id": snapshot_id,
+    }))
     spark.stop()
 
 

@@ -197,6 +197,7 @@ def run_kg_pipeline_staged(
     root: str,
     skip_obsolete: bool = True,
     force: bool = False,
+    snapshot_table: str | None = None,
     _fail_before: str | None = None,
 ) -> "PipelineRunner":
     """The KG pipeline as five checkpointed PipelineRunner stages —
@@ -222,6 +223,14 @@ def run_kg_pipeline_staged(
     the SAME bytes an uninterrupted run would have (no recompute drift).
     Every inter-stage input goes through the snapshot: a restarted
     process reconstructs nothing from memory.
+
+    ``snapshot_table``: when set, every run that actually REBUILDS the
+    triples stage (not a skipped resume) also commits the triples into
+    an Iceberg-style :class:`~pyobo_spark.pipeline.snapshots.SnapshotTable`
+    at that root — each pipeline run becomes one immutable snapshot, so
+    downstream consumers get time travel across runs and a rollback
+    path when a bad build ships (the north rule's "Iceberg-snapshot
+    checkpoints" as the output contract, not just the resume contract).
 
     ``_fail_before`` simulates a crash (test hook): raise just before
     the named stage, AFTER earlier stages committed.
@@ -260,11 +269,15 @@ def run_kg_pipeline_staged(
         lambda: xref_components(ok_xrefs(parsed)),
     )
     gate("triples")
-    runner.stage(
+    triples = runner.stage(
         "triples",
         lambda: build_triples(
             spark, tables, canonicalize_mentions(mentions, comp)
         ),
         counter_cols=("predicate_curie",),
     )
+    if snapshot_table is not None and not runner.results[-1].skipped:
+        from .snapshots import SnapshotTable
+
+        SnapshotTable(spark, snapshot_table).overwrite(triples)
     return runner

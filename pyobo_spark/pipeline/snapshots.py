@@ -1,0 +1,208 @@
+"""Iceberg-style snapshot log over parquet — versioned tables with
+atomic commits, time travel, and rollback.
+
+The north rule materializes pipeline outputs "as partitioned Iceberg
+outputs ... with Iceberg-snapshot checkpoints". The Iceberg LIBRARY is
+not available in this environment, so this module re-implements the
+three load-bearing semantics of its format (spec: iceberg.apache.org,
+v2 table spec) directly over parquet + a JSON metadata log:
+
+1. **File-manifest reads.** A snapshot is an immutable list of data
+   FILES (path, size, row count). Readers plan scans from the manifest
+   — never from directory listings, which at 100 TB / millions of
+   files is the difference between a millisecond plan and a minutes-long
+   S3 LIST storm. Orphan files from crashed commits are simply absent
+   from every manifest and therefore invisible.
+2. **Atomic pointer swap.** A commit writes its data files, then its
+   immutable snapshot JSON, and only then swaps ``metadata/_current``
+   via a Hadoop-FS rename (atomic on HDFS and local file systems). A
+   reader sees the old table or the new table, never a torn mix; a
+   crash at ANY point before the swap leaves the table unchanged.
+3. **Time travel + rollback.** Every snapshot stays readable by id
+   (``read(snapshot_id=N)``); ``rollback(N)`` is just a new pointer
+   swap to an old snapshot — no data is rewritten, and the rolled-over
+   snapshots remain readable.
+
+Scale notes: all metadata operations are driver-side on KB-sized JSON
+(Iceberg's own model — manifests are metadata, data moves only through
+executors); ``append`` reuses the parent's file list, so committing a
+micro-batch to a billion-row table costs the new files plus one small
+JSON, not a rewrite. Data files are immutable once committed — the
+parquet writers here write into a fresh per-snapshot directory, so
+concurrent readers of older snapshots are never disturbed.
+
+Reference anchor: the reference's resumability is per-artifact
+``path.is_file()`` checks (struct.py:1354, getters.py:166-176); this is
+the same contract lifted to versioned-table semantics.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotTable:
+    """A versioned parquet table at ``root`` (any Hadoop-FS URI)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self._meta_dir = f"{self.root}/metadata"
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(self.root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    # ------------------------------------------------------ fs helpers --
+    def _exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._Path(path)))
+
+    def _read_text(self, path: str) -> str:
+        stream = self._fs.open(self._Path(path))
+        try:
+            data = bytes(
+                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                    stream
+                )
+            )
+            return data.decode("utf-8")
+        finally:
+            stream.close()
+
+    def _write_text_atomic(self, path: str, text: str) -> None:
+        """Write to a temp sibling then rename — the commit point."""
+        tmp = f"{path}.tmp-{int(time.time() * 1000)}"
+        stream = self._fs.create(self._Path(tmp), True)
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+        # rename is atomic on HDFS and local FS; on object stores an
+        # Iceberg deployment swaps through a catalog instead — same
+        # contract, different backend
+        if self._exists(path):
+            self._fs.delete(self._Path(path), False)
+        if not self._fs.rename(self._Path(tmp), self._Path(path)):
+            raise IOError(f"atomic pointer swap failed: {tmp} -> {path}")
+
+    # ------------------------------------------------------ metadata ----
+    def _snapshot_path(self, snapshot_id: int) -> str:
+        return f"{self._meta_dir}/snap-{snapshot_id:08d}.json"
+
+    def current_snapshot_id(self) -> int | None:
+        ptr = f"{self._meta_dir}/_current"
+        if not self._exists(ptr):
+            return None
+        return int(self._read_text(ptr).strip())
+
+    def _load_snapshot(self, snapshot_id: int) -> dict[str, Any]:
+        return json.loads(self._read_text(self._snapshot_path(snapshot_id)))
+
+    def history(self) -> list[dict[str, Any]]:
+        """Snapshot log, oldest first, following parent pointers from
+        the current snapshot (rolled-back-over snapshots are reachable
+        by id but not part of the current lineage — Iceberg's model)."""
+        sid = self.current_snapshot_id()
+        chain: list[dict[str, Any]] = []
+        while sid is not None:
+            snap = self._load_snapshot(sid)
+            chain.append(
+                {
+                    "snapshot_id": snap["snapshot_id"],
+                    "parent_id": snap["parent_id"],
+                    "operation": snap["operation"],
+                    "n_files": len(snap["files"]),
+                    "n_rows": snap["summary"]["n_rows"],
+                    "committed_at": snap["committed_at"],
+                }
+            )
+            sid = snap["parent_id"]
+        return list(reversed(chain))
+
+    # ------------------------------------------------------ commits -----
+    def _commit(self, df: DataFrame, operation: str) -> int:
+        parent = self.current_snapshot_id()
+        new_id = (parent or 0) + 1
+        # ids must be unique even across rollbacks (rollback moves the
+        # pointer backwards, so parent+1 may already exist): probe past
+        # any snapshot file already on disk — crashed commits included
+        while self._exists(self._snapshot_path(new_id)):
+            new_id += 1
+        data_dir = f"{self.root}/data/snap-{new_id:08d}"
+        df.write.mode("error").parquet(data_dir)
+        files = []
+        n_rows = 0
+        for st in self._fs.listStatus(self._Path(data_dir)):
+            name = st.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            files.append(
+                {
+                    "path": f"{data_dir}/{name}",
+                    "size_bytes": int(st.getLen()),
+                }
+            )
+        n_rows = self.spark.read.parquet(data_dir).count()
+        if operation == "append" and parent is not None:
+            parent_snap = self._load_snapshot(parent)
+            files = parent_snap["files"] + files
+            n_rows += parent_snap["summary"]["n_rows"]
+        snap = {
+            "snapshot_id": new_id,
+            "parent_id": parent,
+            "operation": operation,
+            "files": files,
+            "summary": {"n_rows": n_rows, "n_files": len(files)},
+            "committed_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+        }
+        # snapshot JSON first (immutable), pointer swap LAST — the only
+        # mutation readers can observe is the atomic rename
+        self._write_text_atomic(
+            self._snapshot_path(new_id), json.dumps(snap, indent=1)
+        )
+        self._write_text_atomic(
+            f"{self._meta_dir}/_current", str(new_id)
+        )
+        return new_id
+
+    def overwrite(self, df: DataFrame) -> int:
+        """Commit ``df`` as the table's new full contents."""
+        return self._commit(df, "overwrite")
+
+    def append(self, df: DataFrame) -> int:
+        """Commit ``df``'s rows on top of the current snapshot. The
+        parent's data files are REUSED in the new manifest — a
+        micro-batch append to a huge table writes only the new files."""
+        return self._commit(df, "append")
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Point the table back at an earlier snapshot. Metadata-only;
+        no data moves, later snapshots stay readable by id."""
+        if not self._exists(self._snapshot_path(snapshot_id)):
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        self._write_text_atomic(
+            f"{self._meta_dir}/_current", str(snapshot_id)
+        )
+
+    # ------------------------------------------------------ reads -------
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        """The table at ``snapshot_id`` (default: current). The scan is
+        planned from the manifest's file list — orphans from crashed
+        commits and files of OTHER snapshots are never touched."""
+        sid = snapshot_id if snapshot_id is not None else (
+            self.current_snapshot_id()
+        )
+        if sid is None:
+            raise ValueError(f"table {self.root} has no committed snapshot")
+        snap = self._load_snapshot(sid)
+        paths = [f["path"] for f in snap["files"]]
+        if not paths:
+            raise ValueError(f"snapshot {sid} is empty")
+        return self.spark.read.parquet(*paths)

@@ -206,3 +206,33 @@ def test_staged_pipeline_restart_resumes_and_matches(spark, tables, tmp_path):
 
     # byte-identical outputs, stage by stage
     assert stage_bytes(crash_root) == control
+
+
+def test_staged_pipeline_versioned_triples(spark, tables, tmp_path):
+    """snapshot_table: each REBUILD of the triples stage commits one
+    immutable snapshot; a skipped resume commits nothing; rollback
+    restores the previous build without rewriting data."""
+    from pyobo_spark.pipeline.kg_build import run_kg_pipeline_staged
+    from pyobo_spark.pipeline.snapshots import SnapshotTable
+
+    root = str(tmp_path / "stages")
+    tbl_root = str(tmp_path / "triples_tbl")
+    run_kg_pipeline_staged(spark, tables, root, snapshot_table=tbl_root)
+    tbl = SnapshotTable(spark, tbl_root)
+    assert tbl.current_snapshot_id() == 1
+    n1 = tbl.read().count()
+    assert n1 > 0
+
+    # resume run: every stage skipped -> NO new snapshot
+    run_kg_pipeline_staged(spark, tables, root, snapshot_table=tbl_root)
+    assert tbl.current_snapshot_id() == 1
+
+    # forced rebuild -> snapshot 2, same content, both readable
+    run_kg_pipeline_staged(
+        spark, tables, root, force=True, snapshot_table=tbl_root
+    )
+    assert tbl.current_snapshot_id() == 2
+    assert tbl.read().count() == n1
+    assert tbl.read(snapshot_id=1).count() == n1
+    tbl.rollback(1)
+    assert tbl.current_snapshot_id() == 1

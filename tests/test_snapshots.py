@@ -1,0 +1,91 @@
+"""Iceberg-style snapshot table (pipeline/snapshots.py): atomic
+commits, manifest-planned reads, time travel, rollback, crash
+invisibility."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyobo_spark.pipeline.snapshots import SnapshotTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+def test_overwrite_append_time_travel_rollback(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    assert t.current_snapshot_id() is None
+    with pytest.raises(ValueError):
+        t.read()
+
+    s1 = t.overwrite(_df(spark, [(1, "a"), (2, "b")]))
+    s2 = t.append(_df(spark, [(3, "c")]))
+    s3 = t.overwrite(_df(spark, [(9, "z")]))
+    assert (s1, s2, s3) == (1, 2, 3)
+
+    # current = last commit; time travel reaches every snapshot
+    assert _ids(t.read()) == [9]
+    assert _ids(t.read(snapshot_id=s1)) == [1, 2]
+    assert _ids(t.read(snapshot_id=s2)) == [1, 2, 3]
+
+    # history follows parent pointers, oldest first
+    hist = t.history()
+    assert [h["snapshot_id"] for h in hist] == [1, 2, 3]
+    assert [h["operation"] for h in hist] == [
+        "overwrite", "append", "overwrite",
+    ]
+    assert [h["n_rows"] for h in hist] == [2, 3, 1]
+
+    # rollback is metadata-only: current flips, s3 stays readable by id
+    t.rollback(s2)
+    assert _ids(t.read()) == [1, 2, 3]
+    assert _ids(t.read(snapshot_id=s3)) == [9]
+    # a commit after rollback branches with a FRESH id (s3's id is taken)
+    s4 = t.append(_df(spark, [(4, "d")]))
+    assert s4 == 4
+    assert _ids(t.read()) == [1, 2, 3, 4]
+    assert [h["snapshot_id"] for h in t.history()] == [1, 2, 4]
+
+
+def test_append_reuses_parent_files(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    snap2 = json.loads(
+        (tmp_path / "tbl" / "metadata" / "snap-00000002.json").read_text()
+    )
+    dirs = {os.path.dirname(f["path"]) for f in snap2["files"]}
+    # the manifest spans BOTH snapshots' data dirs — the parent's files
+    # were reused, not rewritten
+    assert len(dirs) == 2
+    assert snap2["summary"]["n_rows"] == 2
+
+
+def test_crashed_commit_is_invisible(spark, tmp_path):
+    """Data files written without a pointer swap (a commit crashed
+    before its rename) must be invisible to every read."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    s1 = t.overwrite(_df(spark, [(1, "a")]))
+    # simulate a crash: orphan data directory, no snapshot JSON, no swap
+    orphan = tmp_path / "tbl" / "data" / "snap-00000099"
+    _df(spark, [(666, "ghost")]).write.parquet(str(orphan))
+    assert _ids(t.read()) == [1]
+    # the next commit is unaffected and never reads the orphan
+    t.append(_df(spark, [(2, "b")]))
+    assert _ids(t.read()) == [1, 2]
+    assert s1 == 1
+
+
+def test_unknown_rollback_rejected(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError):
+        t.rollback(42)
