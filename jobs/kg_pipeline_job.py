@@ -56,10 +56,11 @@ def main() -> None:
     outputs = kg_build.run_kg_pipeline(
         spark, tables, skip_obsolete=args.skip_obsolete
     )
+    staged = {}
     for name in ("names", "literal_mappings", "mentions", "components",
                  "mappings", "parse_lineage", "media_features", "triples"):
         counter = "prefix" if name in ("names", "literal_mappings") else ()
-        runner.stage(
+        staged[name] = runner.stage(
             name,
             lambda n=name: outputs[n],
             counter_cols=("prefix",) if counter else (),
@@ -67,11 +68,23 @@ def main() -> None:
 
     snapshot_id = None
     if args.snapshot_table:
-        from pyobo_spark.pipeline.snapshots import SnapshotTable
+        # same semantics as run_kg_pipeline_staged(snapshot_table=...):
+        # commit the STAGE CHECKPOINT's bytes (already materialized —
+        # committing the lazy plan would re-execute the whole lineage),
+        # at most once per rebuild, marker-healed across crashes
+        from pyobo_spark.pipeline.kg_build import _commit_triples_snapshot
 
-        snapshot_id = SnapshotTable(spark, args.snapshot_table).overwrite(
-            outputs["triples"]
+        triples_rebuilt = not next(
+            r for r in runner.results if r.name == "triples"
+        ).skipped
+        _commit_triples_snapshot(
+            spark, staged["triples"], args.out, args.snapshot_table,
+            rebuilt=triples_rebuilt,
         )
+        from pathlib import Path
+
+        marker = Path(args.out) / "triples" / "_SNAPSHOT_ID"
+        snapshot_id = int(marker.read_text()) if marker.exists() else None
 
     report = runner.lineage_report()
     print(json.dumps({

@@ -231,6 +231,10 @@ def run_kg_pipeline_staged(
     downstream consumers get time travel across runs and a rollback
     path when a bad build ships (the north rule's "Iceberg-snapshot
     checkpoints" as the output contract, not just the resume contract).
+    The commit is recorded in a ``_SNAPSHOT_ID`` marker next to the
+    stage manifest, so a crash between the stage's manifest commit and
+    the snapshot commit is healed on resume (the skipped stage's bytes
+    are committed then) instead of skipping the snapshot forever.
 
     ``_fail_before`` simulates a crash (test hook): raise just before
     the named stage, AFTER earlier stages committed.
@@ -276,8 +280,29 @@ def run_kg_pipeline_staged(
         ),
         counter_cols=("predicate_curie",),
     )
-    if snapshot_table is not None and not runner.results[-1].skipped:
-        from .snapshots import SnapshotTable
-
-        SnapshotTable(spark, snapshot_table).overwrite(triples)
+    if snapshot_table is not None:
+        _commit_triples_snapshot(
+            spark, triples, root, snapshot_table,
+            rebuilt=not runner.results[-1].skipped,
+        )
     return runner
+
+
+def _commit_triples_snapshot(
+    spark, triples, root: str, snapshot_table: str, rebuilt: bool
+) -> None:
+    """Commit the triples stage's bytes as one SnapshotTable snapshot,
+    at most once per rebuild. The marker is written AFTER the snapshot
+    commit, so the crash cases resolve to: crash before the snapshot →
+    resume recommits (marker absent); crash between snapshot and marker
+    → resume commits a duplicate snapshot of identical content (benign
+    — snapshots are cheap and immutable) rather than ever LOSING one."""
+    from pathlib import Path
+
+    from .snapshots import SnapshotTable
+
+    marker = Path(root) / "triples" / "_SNAPSHOT_ID"
+    if not rebuilt and marker.exists():
+        return
+    sid = SnapshotTable(spark, snapshot_table).overwrite(triples)
+    marker.write_text(str(sid))

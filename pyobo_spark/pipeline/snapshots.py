@@ -31,6 +31,14 @@ JSON, not a rewrite. Data files are immutable once committed — the
 parquet writers here write into a fresh per-snapshot directory, so
 concurrent readers of older snapshots are never disturbed.
 
+**Single-writer assumption.** Commits are crash-safe but not
+concurrency-safe: two drivers committing to the same root can race the
+id probe. Real Iceberg serializes commits through a catalog
+compare-and-swap; this module targets the pipeline's model of one
+driver per table (the staged runner), and multi-driver deployments
+must add an external lock or catalog. Readers are always safe — they
+only ever follow the atomically-swapped pointer to immutable files.
+
 Reference anchor: the reference's resumability is per-artifact
 ``path.is_file()`` checks (struct.py:1354, getters.py:166-176); this is
 the same contract lifted to versioned-table semantics.
@@ -53,10 +61,20 @@ class SnapshotTable:
         self.root = root.rstrip("/")
         self._meta_dir = f"{self.root}/metadata"
         jvm = spark._jvm
+        self._jvm = jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
-        self._fs = self._Path(self.root).getFileSystem(
-            spark._jsc.hadoopConfiguration()
+        conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._Path(self.root).getFileSystem(conf)
+        # FileContext gives a TRUE atomic overwrite rename (Rename
+        # .OVERWRITE) — FileSystem.rename refuses an existing target, and
+        # delete-then-rename opens a window where a crash loses the
+        # pointer and a reader sees a missing file
+        self._fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(conf)
+        gw = spark.sparkContext._gateway
+        self._overwrite_opt = gw.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1
         )
+        self._overwrite_opt[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
 
     # ------------------------------------------------------ fs helpers --
     def _exists(self, path: str) -> bool:
@@ -75,20 +93,22 @@ class SnapshotTable:
             stream.close()
 
     def _write_text_atomic(self, path: str, text: str) -> None:
-        """Write to a temp sibling then rename — the commit point."""
+        """Write to a temp sibling then overwrite-rename — the commit
+        point. FileContext.rename(..., Rename.OVERWRITE) is a single
+        atomic operation on HDFS and local file systems, so there is no
+        delete window in which a crash could lose the pointer or a
+        reader could observe a missing file; on object stores an
+        Iceberg deployment swaps through a catalog instead — same
+        contract, different backend."""
         tmp = f"{path}.tmp-{int(time.time() * 1000)}"
         stream = self._fs.create(self._Path(tmp), True)
         try:
             stream.write(bytearray(text.encode("utf-8")))
         finally:
             stream.close()
-        # rename is atomic on HDFS and local FS; on object stores an
-        # Iceberg deployment swaps through a catalog instead — same
-        # contract, different backend
-        if self._exists(path):
-            self._fs.delete(self._Path(path), False)
-        if not self._fs.rename(self._Path(tmp), self._Path(path)):
-            raise IOError(f"atomic pointer swap failed: {tmp} -> {path}")
+        self._fc.rename(
+            self._Path(tmp), self._Path(path), self._overwrite_opt
+        )
 
     # ------------------------------------------------------ metadata ----
     def _snapshot_path(self, snapshot_id: int) -> str:
@@ -96,12 +116,30 @@ class SnapshotTable:
 
     def current_snapshot_id(self) -> int | None:
         ptr = f"{self._meta_dir}/_current"
-        if not self._exists(ptr):
+        if self._exists(ptr):
+            return int(self._read_text(ptr).strip())
+        # pointer missing but committed snapshots exist → recover to the
+        # LATEST committed snapshot by scanning the metadata log (the
+        # same version-hint fallback Iceberg's HadoopTableOperations
+        # uses). With the atomic overwrite-rename above this path only
+        # triggers for a table whose pointer file was externally
+        # removed; the data is never lost with it.
+        if not self._exists(self._meta_dir):
             return None
-        return int(self._read_text(ptr).strip())
+        best = None
+        for st in self._fs.listStatus(self._Path(self._meta_dir)):
+            name = st.getPath().getName()
+            if name.startswith("snap-") and name.endswith(".json"):
+                best = max(best or 0, int(name[5:-5]))
+        return best
 
     def _load_snapshot(self, snapshot_id: int) -> dict[str, Any]:
-        return json.loads(self._read_text(self._snapshot_path(snapshot_id)))
+        path = self._snapshot_path(snapshot_id)
+        if not self._exists(path):
+            # same error contract as rollback(): a bad time-travel id is
+            # a ValueError, not an opaque py4j FileNotFound traceback
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        return json.loads(self._read_text(path))
 
     def history(self) -> list[dict[str, Any]]:
         """Snapshot log, oldest first, following parent pointers from
@@ -129,9 +167,14 @@ class SnapshotTable:
         parent = self.current_snapshot_id()
         new_id = (parent or 0) + 1
         # ids must be unique even across rollbacks (rollback moves the
-        # pointer backwards, so parent+1 may already exist): probe past
-        # any snapshot file already on disk — crashed commits included
-        while self._exists(self._snapshot_path(new_id)):
+        # pointer backwards, so parent+1 may already exist) AND across
+        # crashed commits (a crash after the data write but before the
+        # snapshot JSON leaves an orphan DATA dir at parent+1 — probing
+        # only the JSON would deterministically re-pick that id and die
+        # on mode('error') forever): probe past both artifacts
+        while self._exists(self._snapshot_path(new_id)) or self._exists(
+            f"{self.root}/data/snap-{new_id:08d}"
+        ):
             new_id += 1
         data_dir = f"{self.root}/data/snap-{new_id:08d}"
         df.write.mode("error").parquet(data_dir)

@@ -64,10 +64,26 @@ def main() -> int:
             if flag in plan and (name, flag) not in ALLOWED:
                 bad.append(f"{name}: {flag}")
         # scans that read every column feeding this query (heuristic:
-        # a ReadSchema listing >12 fields usually means pruning failed
-        # — the widest intentional read in the registry is 9 columns)
-        for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-            n_cols = m.group(1).count(":")
+        # a ReadSchema listing >12 TOP-LEVEL fields usually means
+        # pruning failed — the widest intentional read in the registry
+        # is 9 columns). Field count = depth-0 commas + 1, walked
+        # character-wise: a naive [^>]* regex would truncate at the
+        # first '>' of any nested array/struct column and undercount
+        # exactly the wide scans this check exists to catch.
+        for m in re.finditer(r"ReadSchema: struct<", plan):
+            start = m.end()
+            depth, n_cols, i = 1, 1, start
+            while i < len(plan) and depth > 0:
+                c = plan[i]
+                if c == "<":
+                    depth += 1
+                elif c == ">":
+                    depth -= 1
+                elif c == "," and depth == 1:
+                    n_cols += 1
+                i += 1
+            if plan[start:i - 1].strip() == "":
+                n_cols = 0
             if n_cols > 12:
                 bad.append(f"{name}: unpruned scan ({n_cols} columns)")
     if bad:

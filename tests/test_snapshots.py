@@ -89,3 +89,37 @@ def test_unknown_rollback_rejected(spark, tmp_path):
     t.overwrite(_df(spark, [(1, "a")]))
     with pytest.raises(ValueError):
         t.rollback(42)
+
+
+def test_orphan_at_next_id_does_not_block_commits(spark, tmp_path):
+    """A crash AFTER the data write but BEFORE the snapshot JSON leaves
+    an orphan data dir at parent+1; the id probe must skip past it
+    (probing only the JSON would re-pick the id and die on
+    mode('error') forever — r06 review)."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    # orphan exactly where the next commit would write
+    orphan = tmp_path / "tbl" / "data" / "snap-00000002"
+    _df(spark, [(666, "ghost")]).write.parquet(str(orphan))
+    s = t.append(_df(spark, [(2, "b")]))
+    assert s == 3  # skipped the orphaned id
+    assert _ids(t.read()) == [1, 2]
+
+
+def test_pointer_loss_recovers_to_latest_snapshot(spark, tmp_path):
+    """If the _current pointer file is externally removed, the table
+    recovers to the LATEST committed snapshot via the metadata-log scan
+    (Iceberg's version-hint fallback) instead of presenting as empty."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    t.append(_df(spark, [(2, "b")]))
+    (tmp_path / "tbl" / "metadata" / "_current").unlink()
+    assert t.current_snapshot_id() == 2
+    assert _ids(t.read()) == [1, 2]
+
+
+def test_time_travel_bad_id_is_value_error(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.read(snapshot_id=42)
