@@ -123,3 +123,31 @@ def test_time_travel_bad_id_is_value_error(spark, tmp_path):
     t.overwrite(_df(spark, [(1, "a")]))
     with pytest.raises(ValueError, match="unknown snapshot"):
         t.read(snapshot_id=42)
+
+
+def test_expire_snapshots_reclaims_only_unshared_files(spark, tmp_path):
+    """expire_snapshots drops old snapshots and reclaims data files not
+    referenced by any kept snapshot — shared (appended-over) files
+    survive, kept snapshots stay readable, expired ids become unknown."""
+    import glob
+
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    s1 = t.overwrite(_df(spark, [(1, "a")]))      # files A
+    s2 = t.append(_df(spark, [(2, "b")]))         # files A + B
+    s3 = t.overwrite(_df(spark, [(9, "z")]))      # files C
+    s4 = t.append(_df(spark, [(10, "y")]))        # files C + D
+    stats = t.expire_snapshots(keep_last=2)       # keep s3, s4
+    assert stats["expired_snapshots"] == 2
+    assert stats["deleted_files"] >= 2            # A and B reclaimed
+    # kept snapshots fully readable
+    assert _ids(t.read()) == [9, 10]
+    assert _ids(t.read(snapshot_id=s3)) == [9]
+    # expired ids follow the unknown-snapshot contract
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        t.read(snapshot_id=s1)
+    # shared file C (named by both s3 and s4) still on disk exactly once
+    c_files = glob.glob(str(tmp_path / "tbl" / "data" / "snap-00000003" / "part-*"))
+    assert c_files
+    # history truncates at the expired parent instead of raising
+    assert [h["snapshot_id"] for h in t.history()] == [s3, s4]
+    assert s2 == 2
