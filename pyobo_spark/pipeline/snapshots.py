@@ -166,7 +166,9 @@ class SnapshotTable:
         return list(reversed(chain))
 
     # ------------------------------------------------------ commits -----
-    def _commit(self, df: DataFrame, operation: str) -> int:
+    def _commit(
+        self, df: DataFrame, operation: str, batch_id: int | None = None
+    ) -> int:
         parent = self.current_snapshot_id()
         new_id = (parent or 0) + 1
         # ids must be unique even across rollbacks (rollback moves the
@@ -198,12 +200,15 @@ class SnapshotTable:
             parent_snap = self._load_snapshot(parent)
             files = parent_snap["files"] + files
             n_rows += parent_snap["summary"]["n_rows"]
+        summary: dict[str, Any] = {"n_rows": n_rows, "n_files": len(files)}
+        if batch_id is not None:
+            summary["batch_id"] = batch_id
         snap = {
             "snapshot_id": new_id,
             "parent_id": parent,
             "operation": operation,
             "files": files,
-            "summary": {"n_rows": n_rows, "n_files": len(files)},
+            "summary": summary,
             "committed_at": time.strftime(
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
@@ -227,6 +232,29 @@ class SnapshotTable:
         parent's data files are REUSED in the new manifest — a
         micro-batch append to a huge table writes only the new files."""
         return self._commit(df, "append")
+
+    def append_batch(self, df: DataFrame, batch_id: int) -> int | None:
+        """Idempotent append for Structured Streaming ``foreachBatch``:
+        commit ``df`` tagged with ``batch_id`` UNLESS a snapshot in the
+        current lineage already carries that batch — a replayed batch
+        (foreachBatch is at-least-once: a crash between the sink write
+        and the checkpoint commit re-runs it) becomes a no-op instead of
+        duplicate rows. This turns the snapshot table into a
+        transactional sink: readers see each micro-batch exactly once,
+        which plain parquet appends can only approximate with stamp
+        columns and reader-side dedup. Returns the new snapshot id, or
+        None when the batch was already committed."""
+        sid = self.current_snapshot_id()
+        while sid is not None:
+            snap = self._load_snapshot(sid)
+            if snap["summary"].get("batch_id") == batch_id:
+                return None
+            sid = snap["parent_id"]
+        # the tag rides inside the snapshot JSON written BEFORE the
+        # pointer swap — tag and commit are one atomic unit, so a crash
+        # anywhere leaves either "batch absent" (replay re-commits) or
+        # "batch present and tagged" (replay no-ops), never duplicates
+        return self._commit(df, "append", batch_id=batch_id)
 
     def rollback(self, snapshot_id: int) -> None:
         """Point the table back at an earlier snapshot. Metadata-only;

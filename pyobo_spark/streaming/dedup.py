@@ -15,6 +15,10 @@ Two shapes, both Structured Streaming idioms:
    each new batch is anti-joined on content hash against the sink, so
    restarts resume from the checkpoint without reprocessing (the same
    checkpoint-as-cache contract as streaming/mentions.py).
+3. ``stream_exact_dedup_versioned`` — the catchup policy with a
+   TRANSACTIONAL SnapshotTable sink: batch-id-tagged atomic commits
+   make replayed micro-batches no-ops (exactly-once-visible output),
+   with time travel across batches.
 """
 
 from __future__ import annotations
@@ -281,6 +285,60 @@ def stream_near_dedup(
             if sigs is not None:
                 sigs.unpersist()
             sigs_all.unpersist()
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_exact_dedup_versioned(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    checkpoint_dir: str,
+    table_root: str,
+) -> None:
+    """Exact forever-dedup with a TRANSACTIONAL sink: the accepted
+    corpus lives in an Iceberg-style
+    :class:`~pyobo_spark.pipeline.snapshots.SnapshotTable`, each
+    micro-batch committed via ``append_batch(batch_id)``. foreachBatch
+    is at-least-once (a crash between the sink write and the checkpoint
+    commit replays the batch); the plain-parquet variant above documents
+    replays as stamp-diagnosable, while here a replayed batch is a
+    NO-OP — the batch tag rides inside the atomically-committed
+    snapshot JSON, so readers see every batch exactly once, with time
+    travel across batches for free. The per-batch anti-join reads the
+    table's CURRENT snapshot (manifest-planned, no directory listing).
+    """
+    from ..pipeline.snapshots import SnapshotTable
+
+    table = SnapshotTable(spark, table_root)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = (
+            batch_df.withColumn("text_hash", F.md5("text"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("text_hash").orderBy("doc_id")
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if table.current_snapshot_id() is not None:
+            seen = table.read().select("text_hash")
+            batch = batch.join(seen, on="text_hash", how="left_anti")
+        table.append_batch(batch, batch_id)
 
     stream = (
         spark.readStream.schema(schema)

@@ -337,3 +337,41 @@ def test_streaming_dedup_uncommitted_sink_is_no_sink(spark, tmp_path):
     assert {r["doc_id"] for r in got.collect()} == {1, 2}
     # and once data IS committed the probe flips
     assert _sink_has_data(spark, str(out_dir)) is True
+
+
+def test_streaming_exact_dedup_versioned(spark, tmp_path):
+    """Transactional SnapshotTable sink: one snapshot per micro-batch,
+    replayed batch_ids are no-ops (exactly-once-visible), dedup holds
+    across separate availableNow runs, time travel reaches each batch."""
+    from pyobo_spark.pipeline.snapshots import SnapshotTable
+    from pyobo_spark.streaming.dedup import stream_exact_dedup_versioned
+
+    in_dir = str(tmp_path / "vin")
+    ckpt = str(tmp_path / "vckpt")
+    tbl_root = str(tmp_path / "vtbl")
+
+    spark.createDataFrame(
+        [(1, "alpha doc"), (2, "alpha doc"), (3, "beta doc")], SCHEMA
+    ).write.mode("append").parquet(in_dir)
+    stream_exact_dedup_versioned(spark, in_dir, SCHEMA, ckpt, tbl_root)
+    tbl = SnapshotTable(spark, tbl_root)
+    first_sid = tbl.current_snapshot_id()
+    assert {r["doc_id"] for r in tbl.read().collect()} == {1, 3}
+
+    # replayed batch (same batch_id) must be a no-op
+    batch = spark.createDataFrame(
+        [(7, "alpha doc")], SCHEMA
+    ).withColumn("text_hash", __import__("pyspark").sql.functions.md5("text"))
+    assert tbl.append_batch(batch, batch_id=0) is None
+    assert tbl.current_snapshot_id() == first_sid
+
+    # second run: re-post + a new doc -> exactly one more snapshot
+    spark.createDataFrame(
+        [(4, "alpha doc"), (5, "gamma doc")], SCHEMA
+    ).write.mode("append").parquet(in_dir)
+    stream_exact_dedup_versioned(spark, in_dir, SCHEMA, ckpt, tbl_root)
+    assert {r["doc_id"] for r in tbl.read().collect()} == {1, 3, 5}
+    # time travel back to the first batch's corpus
+    assert {
+        r["doc_id"] for r in tbl.read(snapshot_id=first_sid).collect()
+    } == {1, 3}
