@@ -235,8 +235,9 @@ class SnapshotTable:
 
     def append_batch(self, df: DataFrame, batch_id: int) -> int | None:
         """Idempotent append for Structured Streaming ``foreachBatch``:
-        commit ``df`` tagged with ``batch_id`` UNLESS a snapshot in the
-        current lineage already carries that batch — a replayed batch
+        commit ``df`` tagged with ``batch_id`` unless the lineage's most
+        recent tagged snapshot already covers it (batch ids from one
+        streaming checkpoint are monotonic) — a replayed batch
         (foreachBatch is at-least-once: a crash between the sink write
         and the checkpoint commit re-runs it) becomes a no-op instead of
         duplicate rows. This turns the snapshot table into a
@@ -244,11 +245,20 @@ class SnapshotTable:
         which plain parquet appends can only approximate with stamp
         columns and reader-side dedup. Returns the new snapshot id, or
         None when the batch was already committed."""
+        # batch ids from one streaming query are MONOTONIC, so the check
+        # stops at the first batch-tagged snapshot in the lineage — O(1)
+        # metadata reads per micro-batch once the table head is tagged,
+        # instead of an O(n_snapshots) walk that turns a long-lived
+        # stream's commit cost quadratic. Untagged snapshots (manual
+        # appends/overwrites interleaved with the stream) are skipped.
         sid = self.current_snapshot_id()
         while sid is not None:
             snap = self._load_snapshot(sid)
-            if snap["summary"].get("batch_id") == batch_id:
-                return None
+            tagged = snap["summary"].get("batch_id")
+            if tagged is not None:
+                if batch_id <= tagged:
+                    return None
+                break
             sid = snap["parent_id"]
         # the tag rides inside the snapshot JSON written BEFORE the
         # pointer swap — tag and commit are one atomic unit, so a crash
