@@ -32,6 +32,14 @@ def main() -> None:
         help="optional SnapshotTable root: each run commits the triples "
         "as one immutable snapshot (time travel / rollback across runs)",
     )
+    ap.add_argument(
+        "--expire-keep-last",
+        type=int,
+        default=None,
+        help="with --snapshot-table: after committing, expire all but "
+        "the last N snapshots and reclaim their unshared data files "
+        "(bounds table storage across rebuilds)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -85,6 +93,13 @@ def main() -> None:
 
         marker = Path(args.out) / "triples" / "_SNAPSHOT_ID"
         snapshot_id = int(marker.read_text()) if marker.exists() else None
+        if args.expire_keep_last:
+            from pyobo_spark.pipeline.snapshots import SnapshotTable
+
+            stats = SnapshotTable(spark, args.snapshot_table).expire_snapshots(
+                keep_last=args.expire_keep_last
+            )
+            print(json.dumps({"expire": stats}))
 
     report = runner.lineage_report()
     print(json.dumps({

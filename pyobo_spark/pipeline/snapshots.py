@@ -307,10 +307,20 @@ class SnapshotTable:
         for sid in sorted(all_ids):
             if sid in keep_ids:
                 continue
+            snap_dirs = set()
             for f in self._load_snapshot(sid)["files"]:
                 if f["path"] not in kept_files and self._exists(f["path"]):
                     self._fs.delete(self._Path(f["path"]), False)
                     n_deleted += 1
+                snap_dirs.add(f["path"].rsplit("/", 1)[0])
+            # drop data dirs left with no visible files (write markers
+            # like _SUCCESS only) — kept-file dirs are left alone
+            for d in snap_dirs:
+                if self._exists(d) and not any(
+                    not st.getPath().getName().startswith(("_", "."))
+                    for st in self._fs.listStatus(self._Path(d))
+                ):
+                    self._fs.delete(self._Path(d), True)
             # data files first, JSON last: a crash mid-expire leaves a
             # snapshot whose manifest names missing files (unreadable,
             # like Iceberg's) but never a dangling pointer — and the

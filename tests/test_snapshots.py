@@ -151,3 +151,13 @@ def test_expire_snapshots_reclaims_only_unshared_files(spark, tmp_path):
     # history truncates at the expired parent instead of raising
     assert [h["snapshot_id"] for h in t.history()] == [s3, s4]
     assert s2 == 2
+
+
+def test_expire_removes_empty_data_dirs(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    t.overwrite(_df(spark, [(2, "b")]))
+    t.overwrite(_df(spark, [(3, "c")]))
+    t.expire_snapshots(keep_last=1)
+    dirs = sorted(p.name for p in (tmp_path / "tbl" / "data").iterdir())
+    assert dirs == ["snap-00000003"]
