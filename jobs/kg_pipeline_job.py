@@ -96,10 +96,18 @@ def main() -> None:
         if args.expire_keep_last:
             from pyobo_spark.pipeline.snapshots import SnapshotTable
 
-            stats = SnapshotTable(spark, args.snapshot_table).expire_snapshots(
-                keep_last=args.expire_keep_last
-            )
+            tbl = SnapshotTable(spark, args.snapshot_table)
+            stats = tbl.expire_snapshots(keep_last=args.expire_keep_last)
             print(json.dumps({"expire": stats}))
+            # expiry can drop the snapshot a RESUMED run's marker points
+            # to; a stale marker would both report a dead id and suppress
+            # the recommit that heals it — clear it so the next rebuild
+            # (or marker-less resume) recommits
+            if snapshot_id is not None and not tbl._exists(
+                tbl._snapshot_path(snapshot_id)
+            ):
+                marker.unlink()
+                snapshot_id = None
 
     report = runner.lineage_report()
     print(json.dumps({

@@ -19,9 +19,10 @@ v2 table spec) directly over parquet + a JSON metadata log:
    reader sees the old table or the new table, never a torn mix; a
    crash at ANY point before the swap leaves the table unchanged.
 3. **Time travel + rollback.** Every snapshot stays readable by id
-   (``read(snapshot_id=N)``); ``rollback(N)`` is just a new pointer
-   swap to an old snapshot — no data is rewritten, and the rolled-over
-   snapshots remain readable.
+   (``read(snapshot_id=N)``) until expired by ``expire_snapshots`` —
+   the module's one destructive maintenance op; ``rollback(N)`` is just
+   a new pointer swap to an old snapshot — no data is rewritten, and
+   the rolled-over snapshots remain readable (until expired).
 
 Scale notes: all metadata operations are driver-side on KB-sized JSON
 (Iceberg's own model — manifests are metadata, data moves only through
@@ -36,8 +37,10 @@ concurrency-safe: two drivers committing to the same root can race the
 id probe. Real Iceberg serializes commits through a catalog
 compare-and-swap; this module targets the pipeline's model of one
 driver per table (the staged runner), and multi-driver deployments
-must add an external lock or catalog. Readers are always safe — they
-only ever follow the atomically-swapped pointer to immutable files.
+must add an external lock or catalog. Readers are safe against
+COMMITS — they only ever follow the atomically-swapped pointer to
+immutable files; ``expire_snapshots`` is the one op that deletes files
+and must not run under live time-travel readers of expired snapshots.
 
 Reference anchor: the reference's resumability is per-artifact
 ``path.is_file()`` checks (struct.py:1354, getters.py:166-176); this is
@@ -166,17 +169,26 @@ class SnapshotTable:
         return list(reversed(chain))
 
     # ------------------------------------------------------ commits -----
+    def _last_minted_id(self) -> int:
+        ptr = f"{self._meta_dir}/_last_id"
+        return int(self._read_text(ptr).strip()) if self._exists(ptr) else 0
+
     def _commit(
-        self, df: DataFrame, operation: str, batch_id: int | None = None
+        self,
+        df: DataFrame,
+        operation: str,
+        batch_tag: tuple[str, int] | None = None,
     ) -> int:
         parent = self.current_snapshot_id()
-        new_id = (parent or 0) + 1
-        # ids must be unique even across rollbacks (rollback moves the
-        # pointer backwards, so parent+1 may already exist) AND across
-        # crashed commits (a crash after the data write but before the
-        # snapshot JSON leaves an orphan DATA dir at parent+1 — probing
-        # only the JSON would deterministically re-pick that id and die
-        # on mode('error') forever): probe past both artifacts
+        # ids must NEVER be reused: not across rollbacks (parent+1 may
+        # exist), not across crashed commits (orphan data dir at
+        # parent+1 would die on mode('error') forever), and not after
+        # expire_snapshots deletes both artifacts of a rolled-over id —
+        # a reused id would silently resolve stored references (markers,
+        # noted time-travel ids) to DIFFERENT content. The _last_id
+        # high-water mark survives expiry; the existence probes cover
+        # pre-high-water-mark tables and crash leftovers.
+        new_id = max((parent or 0), self._last_minted_id()) + 1
         while self._exists(self._snapshot_path(new_id)) or self._exists(
             f"{self.root}/data/snap-{new_id:08d}"
         ):
@@ -201,8 +213,8 @@ class SnapshotTable:
             files = parent_snap["files"] + files
             n_rows += parent_snap["summary"]["n_rows"]
         summary: dict[str, Any] = {"n_rows": n_rows, "n_files": len(files)}
-        if batch_id is not None:
-            summary["batch_id"] = batch_id
+        if batch_tag is not None:
+            summary["batch_app"], summary["batch_id"] = batch_tag
         snap = {
             "snapshot_id": new_id,
             "parent_id": parent,
@@ -213,8 +225,10 @@ class SnapshotTable:
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
             ),
         }
-        # snapshot JSON first (immutable), pointer swap LAST — the only
+        # high-water mark first (a crash after this merely skips ids),
+        # snapshot JSON second (immutable), pointer swap LAST — the only
         # mutation readers can observe is the atomic rename
+        self._write_text_atomic(f"{self._meta_dir}/_last_id", str(new_id))
         self._write_text_atomic(
             self._snapshot_path(new_id), json.dumps(snap, indent=1)
         )
@@ -233,29 +247,45 @@ class SnapshotTable:
         micro-batch append to a huge table writes only the new files."""
         return self._commit(df, "append")
 
-    def append_batch(self, df: DataFrame, batch_id: int) -> int | None:
+    def append_batch(
+        self, df: DataFrame, batch_id: int, app_id: str = "default"
+    ) -> int | None:
         """Idempotent append for Structured Streaming ``foreachBatch``:
-        commit ``df`` tagged with ``batch_id`` unless the lineage's most
-        recent tagged snapshot already covers it (batch ids from one
-        streaming checkpoint are monotonic) — a replayed batch
+        commit ``df`` tagged ``(app_id, batch_id)`` unless the lineage's
+        most recent tag FOR THAT APP already covers it (batch ids from
+        one streaming checkpoint are monotonic) — a replayed batch
         (foreachBatch is at-least-once: a crash between the sink write
         and the checkpoint commit re-runs it) becomes a no-op instead of
         duplicate rows. This turns the snapshot table into a
         transactional sink: readers see each micro-batch exactly once,
         which plain parquet appends can only approximate with stamp
         columns and reader-side dedup. Returns the new snapshot id, or
-        None when the batch was already committed."""
-        # batch ids from one streaming query are MONOTONIC, so the check
-        # stops at the first batch-tagged snapshot in the lineage — O(1)
-        # metadata reads per micro-batch once the table head is tagged,
-        # instead of an O(n_snapshots) walk that turns a long-lived
-        # stream's commit cost quadratic. Untagged snapshots (manual
-        # appends/overwrites interleaved with the stream) are skipped.
+        None when the batch was already committed.
+
+        ``app_id`` scopes the replay check to one streaming query (the
+        same role as Delta's ``txnAppId``): without it, a SECOND query
+        writing to this table — or a checkpoint reset restarting batch
+        ids at 0 — would see its genuinely-new low batch ids judged
+        'already committed' and silently dropped. Use one app_id per
+        (query, checkpoint) pair; resetting a checkpoint to reprocess
+        from scratch requires a NEW app_id (or table), exactly as with
+        Delta's idempotent writes."""
+        # batch ids per app are MONOTONIC, so the check stops at the
+        # first snapshot tagged by THIS app — O(1) metadata reads per
+        # micro-batch for a single-writer stream (other apps' tags and
+        # untagged manual commits are walked past, bounded by the number
+        # of interleaved writers). A parent expired by expire_snapshots
+        # ends the walk: only the LAST batch can replay, and its
+        # snapshot is the head, which keep_last >= 1 always keeps.
         sid = self.current_snapshot_id()
         while sid is not None:
-            snap = self._load_snapshot(sid)
-            tagged = snap["summary"].get("batch_id")
-            if tagged is not None:
+            try:
+                snap = self._load_snapshot(sid)
+            except ValueError:
+                break  # lineage truncated by expire_snapshots
+            summ = snap["summary"]
+            tagged = summ.get("batch_id")
+            if tagged is not None and summ.get("batch_app", "default") == app_id:
                 if batch_id <= tagged:
                     return None
                 break
@@ -264,11 +294,12 @@ class SnapshotTable:
         # pointer swap — tag and commit are one atomic unit, so a crash
         # anywhere leaves either "batch absent" (replay re-commits) or
         # "batch present and tagged" (replay no-ops), never duplicates
-        return self._commit(df, "append", batch_id=batch_id)
+        return self._commit(df, "append", batch_tag=(app_id, batch_id))
 
     def rollback(self, snapshot_id: int) -> None:
         """Point the table back at an earlier snapshot. Metadata-only;
-        no data moves, later snapshots stay readable by id."""
+        no data moves, later snapshots stay readable by id (until a
+        subsequent ``expire_snapshots`` drops them)."""
         if not self._exists(self._snapshot_path(snapshot_id)):
             raise ValueError(f"unknown snapshot {snapshot_id}")
         self._write_text_atomic(
@@ -287,7 +318,18 @@ class SnapshotTable:
 
         At 100 TB this is the difference between a table whose storage
         is bounded by its live contents and one that grows by a full
-        copy per overwrite-rebuild forever."""
+        copy per overwrite-rebuild forever.
+
+        This is the module's ONE destructive operation: a concurrent
+        reader holding a time-travel DataFrame on an expired snapshot
+        fails mid-scan (Iceberg's expire has the identical caveat) —
+        run maintenance when no time-travel readers are live. Readers
+        of KEPT snapshots are unaffected."""
+        if keep_last < 1:
+            # [-0:] would slice to the FULL history (keeping everything)
+            # and negative values expire from the wrong end — both are
+            # caller bugs, and the current snapshot can never be expired
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         current = self.current_snapshot_id()
         if current is None:
             return {"expired_snapshots": 0, "deleted_files": 0}

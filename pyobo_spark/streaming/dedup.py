@@ -51,6 +51,24 @@ def _sink_has_data(spark: SparkSession, path: str) -> bool:
     return False
 
 
+def _keep_min_batch(batch_df: DataFrame) -> DataFrame:
+    """exact_duplicates' keep-min policy within one micro-batch: hash
+    the content, keep the lowest doc_id per hash. Shared by both
+    exact-dedup foreachBatch sinks so the policy (hash column, tiebreak)
+    can never silently diverge between them."""
+    return (
+        batch_df.withColumn("text_hash", F.md5("text"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("text_hash").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def stream_exact_dedup(
     spark: SparkSession,
     input_dir: str,
@@ -100,18 +118,7 @@ def stream_exact_dedup_catchup(
     the sink, which Iceberg/parquet serve with hash-partition pruning
     at scale)."""
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch = (
-            batch_df.withColumn("text_hash", F.md5("text"))
-            # keep-min within the batch (exact_duplicates' policy)
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("text_hash").orderBy("doc_id")
-                ),
-            )
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
+        batch = _keep_min_batch(batch_df)
         # probe the sink through Hadoop FS — os.path only works for
         # driver-local paths; HDFS/S3/Iceberg sinks must use the same
         # filesystem that will serve the anti-join (r03 + r06 reviews:
@@ -318,27 +325,21 @@ def stream_exact_dedup_versioned(
     snapshot JSON, so readers see every batch exactly once, with time
     travel across batches for free. The per-batch anti-join reads the
     table's CURRENT snapshot (manifest-planned, no directory listing).
+    The checkpoint path doubles as the replay-scope ``app_id`` (Delta's
+    txnAppId role): a different checkpoint (new query) never collides
+    with this one's batch ids; resetting THIS checkpoint's contents to
+    reprocess from scratch requires a new checkpoint path or table.
     """
     from ..pipeline.snapshots import SnapshotTable
 
     table = SnapshotTable(spark, table_root)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        batch = (
-            batch_df.withColumn("text_hash", F.md5("text"))
-            .withColumn(
-                "rn",
-                F.row_number().over(
-                    Window.partitionBy("text_hash").orderBy("doc_id")
-                ),
-            )
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
+        batch = _keep_min_batch(batch_df)
         if table.current_snapshot_id() is not None:
             seen = table.read().select("text_hash")
             batch = batch.join(seen, on="text_hash", how="left_anti")
-        table.append_batch(batch, batch_id)
+        table.append_batch(batch, batch_id, app_id=checkpoint_dir)
 
     stream = (
         spark.readStream.schema(schema)

@@ -161,3 +161,25 @@ def test_expire_removes_empty_data_dirs(spark, tmp_path):
     t.expire_snapshots(keep_last=1)
     dirs = sorted(p.name for p in (tmp_path / "tbl" / "data").iterdir())
     assert dirs == ["snap-00000003"]
+
+
+def test_ids_never_reused_after_expire(spark, tmp_path):
+    """rollback + expire deletes both artifacts of rolled-over ids; the
+    _last_id high-water mark must still prevent minting those ids again
+    (a reused id would silently resolve stored references to DIFFERENT
+    content — r06 review)."""
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    for i in range(1, 5):
+        t.overwrite(_df(spark, [(i, "x")]))
+    t.rollback(2)
+    t.expire_snapshots(keep_last=1)  # snaps 3,4 fully deleted
+    s = t.overwrite(_df(spark, [(9, "y")]))
+    assert s == 5  # NOT a reuse of 3
+
+
+def test_expire_keep_last_validation(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "tbl"))
+    t.overwrite(_df(spark, [(1, "a")]))
+    for bad in (0, -2):
+        with pytest.raises(ValueError, match="keep_last"):
+            t.expire_snapshots(keep_last=bad)

@@ -358,12 +358,17 @@ def test_streaming_exact_dedup_versioned(spark, tmp_path):
     first_sid = tbl.current_snapshot_id()
     assert {r["doc_id"] for r in tbl.read().collect()} == {1, 3}
 
-    # replayed batch (same batch_id) must be a no-op
+    # replayed batch (same app_id + batch_id) must be a no-op — the
+    # stream scopes its tags by its checkpoint path (Delta txnAppId)
     batch = spark.createDataFrame(
         [(7, "alpha doc")], SCHEMA
     ).withColumn("text_hash", __import__("pyspark").sql.functions.md5("text"))
-    assert tbl.append_batch(batch, batch_id=0) is None
+    assert tbl.append_batch(batch, batch_id=0, app_id=ckpt) is None
     assert tbl.current_snapshot_id() == first_sid
+    # a DIFFERENT app's batch 0 is genuinely new data, never a replay
+    other = tbl.append_batch(batch, batch_id=0, app_id="other-query")
+    assert other is not None
+    tbl.rollback(first_sid)  # restore for the second stream run below
 
     # second run: re-post + a new doc -> exactly one more snapshot
     spark.createDataFrame(
