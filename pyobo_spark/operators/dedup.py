@@ -140,21 +140,11 @@ def minhash_lsh_candidates(
 
 def _spread_narrow_input(documents: DataFrame) -> DataFrame:
     """Small inputs arrive as 1-2 parquet files; spread the Arrow-batch
-    signature stage across the configured reducer count. Probe the
-    source file count instead of .rdd.getNumPartitions (Connect-safe,
-    no extra analysis) and only repartition when the input is narrower
-    than the target — an unconditional repartition would force a full
-    extra shuffle of the corpus and COLLAPSE a wide input down to
-    shuffle.partitions."""
-    spark = documents.sparkSession
-    par = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    try:
-        n_files = len(documents.inputFiles())
-    except Exception:  # noqa: BLE001 — non-file source; leave layout alone
-        n_files = par
-    if 0 < n_files < par:
-        documents = documents.repartition(par)
-    return documents
+    signature stage across the configured reducer count (generalized to
+    :mod:`pyobo_spark.spread` in r7 — same probe/no-op semantics)."""
+    from ..spread import spread_small_input
+
+    return spread_small_input(documents)
 
 
 # signatures caches owned by default-path minhash_near_duplicates calls;
@@ -261,7 +251,9 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
         "transform(filter(split(text, '\\\\s+'), t -> t != ''),"
         " t -> xxhash64(t))"
     )
-    hashed = documents.select("doc_id", tok_hashes.alias("tok_hashes"))
+    hashed = _spread_narrow_input(documents).select(
+        "doc_id", tok_hashes.alias("tok_hashes")
+    )
     bit_idx = np.arange(64, dtype=np.uint64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -190,7 +190,13 @@ def term_embeddings(
     at cluster scale the model loads once per Python worker, not per
     batch, because the closure is deserialized per task but the heavy
     weights should be lazily cached module-level by the callable."""
-    named = terms.where(F.col("name").isNotNull())
+    from ..spread import spread_small_input
+
+    # restore scan parallelism for the kernel: a 1-row-group terms scan
+    # would run the whole embedding projection on one core (no-op for
+    # in-memory or many-file inputs, so the zero-Exchange plan guard on
+    # fixture inputs still holds)
+    named = spread_small_input(terms.where(F.col("name").isNotNull()))
     if model is None:
         return named.select(
             "prefix",
@@ -236,17 +242,20 @@ def term_embeddings(
 
 
 def nearest_terms(
-    embeddings: DataFrame, query_curies: DataFrame, k: int = 5
+    embeddings: DataFrame, query_curies: DataFrame, k: int = 5,
+    dim: int = DEFAULT_DIM,
 ) -> DataFrame:
     """Top-k cosine neighbors for each query term — reference
     ``get_embedding_similarity``'s nearest-lookup shape. The query side
     (a handful of CURIEs) joins against the artifact to pick up vectors,
-    then broadcasts into the exact top-k kernel."""
+    then broadcasts into the exact top-k kernel. ``dim`` (the artifact's
+    vector length) switches the cosine arithmetic to the unrolled
+    codegen form — wrong values are safe (per-row lambda fallback)."""
     q = embeddings.select("curie", "vector").join(
         F.broadcast(query_curies), on="curie"
     )
     return similarity.cosine_topk_bruteforce(
-        embeddings, q, k=k, id_col="curie", vec_col="vector"
+        embeddings, q, k=k, id_col="curie", vec_col="vector", dim=dim
     ).select(
         F.col("query_id").alias("query_curie"),
         F.col("neighbor_id").alias("neighbor_curie"),

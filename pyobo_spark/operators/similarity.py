@@ -21,14 +21,82 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
-    return df.withColumn(
-        "_norm",
-        F.sqrt(
-            F.aggregate(
-                F.col(vec), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-            )
-        ),
+def _norm_expr(vec: str, dim: int | None = None):
+    """Sum-of-squares norm. With ``dim`` given, the sum is UNROLLED into
+    dim codegen'd getItem/multiply/add terms guarded by a size check —
+    Catalyst evaluates higher-order-function lambdas interpreted
+    (~1µs/element, the measured bottleneck of the brute-force cosine at
+    10x); the unrolled form compiles into whole-stage codegen. The fold
+    order (((0+x0²)+x1²)+…) is preserved, so results are bit-identical
+    to the lambda form; vectors of any OTHER length fall back to the
+    lambda (the when() guard), so semantics are unchanged for every
+    input."""
+    hof = F.aggregate(
+        F.col(vec),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    if dim is None:
+        return F.sqrt(hof)
+    acc = F.lit(0.0)
+    for i in range(dim):
+        x = F.col(vec)[i].cast("double")
+        acc = acc + x * x
+    return F.sqrt(F.when(F.size(F.col(vec)) == dim, acc).otherwise(hof))
+
+
+def _dot_expr(a: str, b: str, dim: int | None = None):
+    """Dot product of two array columns — same unrolled-when-possible
+    strategy and fold-order guarantee as :func:`_norm_expr`."""
+    hof = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    if dim is None:
+        return hof
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.col(a)[i].cast("double") * F.col(b)[i].cast("double")
+    return F.when(
+        (F.size(F.col(a)) == dim) & (F.size(F.col(b)) == dim), acc
+    ).otherwise(hof)
+
+
+def _with_norm(
+    df: DataFrame, vec: str = "embedding", dim: int | None = None
+) -> DataFrame:
+    return df.withColumn("_norm", _norm_expr(vec, dim))
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k over (query_id, neighbor_id, cosine) rows.
+
+    Shape notes (r7, measured at 10x):
+    - project BEFORE the window: the scored rows still carry the
+      query/corpus vectors; only (query_id, neighbor_id, cosine) may
+      enter the exchange (guide §2.3 — the old form shuffled the
+      vectors through the window).
+    - a single query_id window is NOT the guide-§2.5 window-skew trap
+      on Spark 4: the rank<=k filter compiles to WindowGroupLimit,
+      which prunes each MAP partition to its local top-k before the
+      exchange, so only k x n_queries x n_map_partitions rows cross.
+      A two-level bucketed window (local top-k per (query, hash
+      bucket), then re-rank) measured 4x SLOWER at 10x — the extra
+      exchange+sort costs more than the already-pruned shuffle saves."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 4).alias("cosine"),
+            "rank",
+        )
     )
 
 
@@ -38,45 +106,35 @@ def cosine_topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine) — exact top-k per query.
 
-    queries: subset of rows with the same shape. Broadcast inner side."""
+    queries: subset of rows with the same shape. Broadcast inner side.
+    dim: expected vector length — enables the unrolled codegen
+    arithmetic (see _norm_expr); other lengths fall back to the lambda
+    form, so passing it is always safe."""
     q = _with_norm(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
         ),
         "qvec",
+        dim,
     ).withColumnRenamed("_norm", "qnorm")
     c = _with_norm(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
         ),
         "cvec",
+        dim,
     ).withColumnRenamed("_norm", "cnorm")
-    dot = F.aggregate(
-        F.zip_with("qvec", "cvec", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot_expr("qvec", "cvec", dim)
     scored = (
         c.join(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cosine", dot / (F.col("qnorm") * F.col("cnorm")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cosine", 4).alias("cosine"),
-            "rank",
-        )
-    )
+    return _topk_per_query(scored, k)
 
 
 def hyperplane_signatures(
@@ -261,28 +319,21 @@ def cosine_topk_ivf(
             F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
         ),
         "cvec",
+        dim,
     ).withColumnRenamed("_norm", "cnorm")
     q = _with_norm(
         queries.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
         ),
         "qvec",
+        dim,
     ).withColumnRenamed("_norm", "qnorm")
-    dot = F.aggregate(
-        F.zip_with("qvec", "cvec", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    dot = _dot_expr("qvec", "cvec", dim)
     scored = (
         cand.join(c, on="neighbor_id").join(F.broadcast(q), on="query_id")
         .withColumn("cosine", dot / (F.col("qnorm") * F.col("cnorm")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
-    )
+    return _topk_per_query(scored, k)
 
 
 def cosine_topk_lsh(
@@ -314,20 +365,11 @@ def cosine_topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    c = _with_norm(c, "cvec").withColumnRenamed("_norm", "cnorm")
-    q = _with_norm(q, "qvec").withColumnRenamed("_norm", "qnorm")
-    dot = F.aggregate(
-        F.zip_with("qvec", "cvec", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    c = _with_norm(c, "cvec", dim).withColumnRenamed("_norm", "cnorm")
+    q = _with_norm(q, "qvec", dim).withColumnRenamed("_norm", "qnorm")
+    dot = _dot_expr("qvec", "cvec", dim)
     scored = (
         cand.join(c, on="neighbor_id").join(F.broadcast(q), on="query_id")
         .withColumn("cosine", dot / (F.col("qnorm") * F.col("cnorm")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank")
-    )
+    return _topk_per_query(scored, k)

@@ -22,6 +22,7 @@ from .grounding.dictionary import broadcast_matcher, build_matcher
 from .operators import dedup, exports, hierarchy, similarity, textstats
 from .operators.components import connected_components
 from .sources import tpch_adapter as tp
+from .spread import spread_small_input
 
 # ---------------------------------------------------------------------------
 # fixed grounding dictionary for the flat documents table (single-token
@@ -45,9 +46,19 @@ _DICT_VALUES_SQL = ", ".join(
 )
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents table with scan parallelism restored for compute-heavy
+    consumers (matcher batches, Arrow kernels, expression-dense
+    projections): the bench corpus arrives as 1-8 parquet row groups, so
+    without the spread those stages run on 1-8 of the session's cores
+    (guide §2.5 input skew; measured: mention grounding 24.7k docs/s on
+    the 1-row-group sf1.0 corpus vs 214k docs/s on the 8-file 10x one)."""
+    return spread_small_input(tp.load(spark, sf_dir, "documents"))
+
+
 def _docs_as_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat documents table → (doc_id, span_idx=0, text) single-span rows."""
-    return tp.load(spark, sf_dir, "documents").select(
+    return _docs_spread(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.lit(0).alias("span_idx"),
         "text",
@@ -110,11 +121,16 @@ WHERE relation_prefix = 'RO' AND relation_id = '0002162'
 
 
 def q_relations_typedef_filtered(spark, sf_dir):
-    # semi-join BEFORE the dedup shuffle: the typedef filter drops ~1/3
-    # of rows, so filter-then-distinct beats distinct-then-filter
+    # r7: the dedup now happens on narrow numeric keys inside
+    # tp.relations_raw (distinct-then-project == project-then-distinct,
+    # see its docstring), so the broadcast semi-join runs over already-
+    # distinct rows and the old trailing .distinct() — a second full
+    # shuffle of the projected strings — is gone. Semi-join ∘ distinct
+    # == distinct ∘ semi-join (row-level filter), so the output row set
+    # is unchanged.
     return exports.relations_typedef_filtered(
-        tp.relations_raw_nodedup(spark, sf_dir), _typedefs_df(spark)
-    ).distinct()
+        tp.relations_raw(spark, sf_dir), _typedefs_df(spark)
+    )
 
 
 SQL_RELATIONS_TYPEDEF_FILTERED = f"""
@@ -194,9 +210,10 @@ WHERE object_id LIKE 'fixn:%' AND predicate_id = 'oboInOwl:hasDbXref'
 
 
 def q_edges(spark, sf_dir):
+    # r7: same narrow-key dedup restructure as relations_typedef_filtered
     rel_ok = exports.relations_typedef_filtered(
-        tp.relations_raw_nodedup(spark, sf_dir), _typedefs_df(spark)
-    ).distinct()
+        tp.relations_raw(spark, sf_dir), _typedefs_df(spark)
+    )
     return exports.edges(rel_ok, tp.parents(spark, sf_dir), prefix="fixp")
 
 
@@ -326,7 +343,7 @@ FROM documents GROUP BY md5(text)
 
 
 def q_token_stats(spark, sf_dir):
-    docs = tp.load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     out = textstats.token_stats(docs)
     return out.select(
         "doc_id",
@@ -359,7 +376,7 @@ FROM base
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    docs = tp.load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     fp = F.aggregate(
         toks,
@@ -383,9 +400,12 @@ FROM documents
 
 
 def q_ann_cosine_topk(spark, sf_dir):
-    emb = tp.load(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 8)
-    out = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    emb_raw = tp.load(spark, sf_dir, "embeddings")
+    emb = spread_small_input(emb_raw)
+    # query side from the RAW scan: the vec_id filter pushes into
+    # parquet instead of scanning+shuffling the spread corpus
+    queries = emb_raw.where(F.col("vec_id") < 8)
+    out = similarity.cosine_topk_bruteforce(emb, queries, k=5, dim=64)
     return out.select(
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("bigint").alias("rank"),
@@ -993,7 +1013,7 @@ FROM raw
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (exact, canonical a<b) —
     the embedding leg of the dedup suite."""
-    emb = tp.load(spark, sf_dir, "embeddings")
+    emb = spread_small_input(tp.load(spark, sf_dir, "embeddings"))
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     dot = F.aggregate(
@@ -1035,15 +1055,54 @@ SELECT id_a, id_b, round(cosine, 4) AS cosine FROM pairs WHERE cosine >= 0.8
 
 
 def q_hierarchy_edges(spark, sf_dir):
-    # pre-dedup relations: hierarchy_edges ends in .distinct() on the
-    # edge set, so an upstream relation-row dedup is a redundant second
-    # shuffle of the filtered corpus (measured at 10x bench scale)
-    return hierarchy.hierarchy_edges(
-        tp.parents(spark, sf_dir),
-        tp.relations_raw_nodedup(spark, sf_dir),
-        prefix="fixp",
-        include=(("BFO", "0000050"),),
-        include_reversed=(("RO", "0002162"),),
+    # r7 (guide §2.3 "shuffle keys instead of payloads"): the operator
+    # form — hierarchy.hierarchy_edges(tp.parents(...),
+    # tp.relations_raw(...), include=(BFO:0000050,),
+    # include_reversed=(RO:0002162,)) — ends in .distinct() over the
+    # projected CURIE strings (~42M rows / ~2.5 GB shuffled at 10x).
+    # Every output row is a bijection of a narrow key triple
+    # (leg, k1, k2):
+    #   leg 0 (BFO fwd):  (fixp:lpad(k1),       fixs:lpad(k2), BFO:0000050)
+    #   leg 1 (RO rev):   (ncbitaxon:cast(k2),  fixp:lpad(k1), RO:0002162^-1)
+    #   leg 2 (isa):      (fixp:lpad(k1),       fixp:lpad(k2), rdfs:subClassOf)
+    # with k = trunc7(raw key) absorbing lpad's >7-digit truncation
+    # (tp._trunc7) so the mapping stays injective at any key width, and
+    # the per-leg predicates distinct so legs never collide. Dedup on
+    # the key triple therefore yields EXACTLY the operator's row set
+    # (verified against the unchanged DuckDB oracle) while the single
+    # distinct shuffles 3 small integers per row. Measured 10x:
+    # 12.8 s -> ~6 s.
+    li = tp.load(spark, sf_dir, "lineitem")
+    m3 = F.col("l_linenumber") % 3
+    leg_keys = li.where(m3 < 2).select(
+        m3.cast("tinyint").alias("_leg"),
+        tp._trunc7(F.col("l_partkey")).alias("_k1"),
+        F.when(m3 == 1, F.col("l_suppkey"))
+        .otherwise(tp._trunc7(F.col("l_suppkey")))
+        .alias("_k2"),
+    )
+    p = tp.load(spark, sf_dir, "part")
+    isa_keys = p.where(F.col("p_partkey") >= 10).select(
+        F.lit(2).cast("tinyint").alias("_leg"),
+        tp._trunc7(F.col("p_partkey")).alias("_k1"),
+        tp._trunc7(F.expr("p_partkey DIV 10")).alias("_k2"),
+    )
+    keys = leg_keys.unionByName(isa_keys).distinct()
+    leg = F.col("_leg")
+    lp = lambda c: F.lpad(F.col(c).cast("string"), 7, "0")  # noqa: E731
+    return keys.select(
+        F.when(leg == 1, F.concat(F.lit("ncbitaxon:"),
+                                  F.col("_k2").cast("string")))
+        .otherwise(F.concat(F.lit("fixp:"), lp("_k1")))
+        .alias("child_curie"),
+        F.when(leg == 0, F.concat(F.lit("fixs:"), lp("_k2")))
+        .when(leg == 1, F.concat(F.lit("fixp:"), lp("_k1")))
+        .otherwise(F.concat(F.lit("fixp:"), lp("_k2")))
+        .alias("parent_curie"),
+        F.when(leg == 0, "BFO:0000050")
+        .when(leg == 1, "RO:0002162^-1")
+        .otherwise("rdfs:subClassOf")
+        .alias("predicate_curie"),
     )
 
 
@@ -1071,7 +1130,7 @@ def q_clean_corpus(spark, sf_dir):
     """Training-corpus cleaning composition: quality filter (token stats)
     + exact-dedup keep-first. The canonical pre-training data pipeline
     over the documents table."""
-    docs = tp.load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     stats = textstats.token_stats(docs)
     keep = (
         docs.select("doc_id", F.md5("text").alias("h"))
@@ -1156,7 +1215,7 @@ SELECT curie, CAST(n AS BIGINT) AS n_mentions FROM counts
 def q_token_counts_regex(spark, sf_dir):
     """BPE-ish regex token counting (word pieces + punctuation as
     separate tokens) alongside whitespace tokens."""
-    docs = tp.load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
@@ -1178,7 +1237,7 @@ FROM documents
 def q_pii_scrub(spark, sf_dir):
     """PII redaction over a corpus with deterministically planted PII
     (every 3rd doc gets an email, every 7th an IP)."""
-    docs = tp.load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_spread(spark, sf_dir).select("doc_id", "text")
     planted = docs.select(
         "doc_id",
         F.when(
@@ -1444,7 +1503,7 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_language_id(spark, sf_dir):
-    return textstats.language_id(tp.load(spark, sf_dir, "documents"))
+    return textstats.language_id(_docs_spread(spark, sf_dir))
 
 
 def _lang_profiles_sql() -> str:
@@ -1495,14 +1554,20 @@ FROM best WHERE rn = 1
 
 
 def q_ann_cosine_lsh(spark, sf_dir):
-    emb = tp.load(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 8)
+    emb_raw = tp.load(spark, sf_dir, "embeddings")
+    emb = spread_small_input(emb_raw)
+    # query side from the RAW scan: the vec_id filter pushes into
+    # parquet instead of scanning+shuffling the spread corpus
+    queries = emb_raw.where(F.col("vec_id") < 8)
     return similarity.cosine_topk_lsh(emb, queries, k=5)
 
 
 def q_ann_cosine_ivf(spark, sf_dir):
-    emb = tp.load(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") < 8)
+    emb_raw = tp.load(spark, sf_dir, "embeddings")
+    emb = spread_small_input(emb_raw)
+    # query side from the RAW scan: the vec_id filter pushes into
+    # parquet instead of scanning+shuffling the spread corpus
+    queries = emb_raw.where(F.col("vec_id") < 8)
     return similarity.cosine_topk_ivf(emb, queries, k=5, n_probe=4)
 
 
@@ -1512,7 +1577,7 @@ def q_span_pipeline(spark, sf_dir):
     media spans interleaved every other doc), posexplode → map-only
     best-per-site matcher → mentions. Rows-only (span construction is
     engine-internal)."""
-    docs = tp.load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     third = F.expr("length(text) DIV 3")
     spans = F.when(
         F.col("doc_id") % 2 == 0,
@@ -1566,7 +1631,7 @@ def q_media_features(spark, sf_dir):
     round half-up. Null text maps to ('', 'missing') on both sides."""
     from .operators import multimodal
 
-    docs = tp.load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     media = docs.select(
         F.concat(F.lit("blob://"), F.col("doc_id").cast("string")).alias("media_ref"),
         F.when(F.col("doc_id") % 2 == 0, "image").otherwise("audio").alias("kind"),
@@ -1633,7 +1698,7 @@ def q_media_digest(spark, sf_dir):
     DuckDB's sha256 hex."""
     from .operators import multimodal
 
-    docs = tp.load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     media = docs.select(
         F.concat(F.lit("blob://"), F.col("doc_id").cast("string")).alias(
             "media_ref"
@@ -1680,7 +1745,7 @@ def q_video_frames(spark, sf_dir):
     the same pure-numpy kernel the pytest goldens pin."""
     from .operators import multimodal
 
-    docs = tp.load(spark, sf_dir, "documents").select("doc_id")
+    docs = _docs_spread(spark, sf_dir).select("doc_id")
 
     def frame(i: int):
         v = ((F.col("doc_id") * 7 + i * 13) % 256).cast("int")
@@ -1739,7 +1804,7 @@ def q_media_metadata(spark, sf_dir):
     full distributed path against constants DuckDB can state."""
     from .operators import multimodal
 
-    docs = tp.load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     ppm = F.concat(
         F.lit(bytearray(b"P6\n1 1\n255\n")), F.encode(F.lit("abc"), "utf-8")
     )
@@ -1959,7 +2024,7 @@ def q_gopher_repetition(spark, sf_dir):
     keeps every n-level non-degenerate so the oracle's inner-join gram
     pipeline produces exactly the same document set."""
     docs = (
-        tp.load(spark, sf_dir, "documents")
+        _docs_spread(spark, sf_dir)
         .where(
             F.col("text").isNotNull()
             & (F.col("doc_id") % 5 == 0)
@@ -2017,7 +2082,7 @@ def q_gopher_quality(spark, sf_dir):
     §A1.1; operators/textstats.py::gopher_quality) — word-count band,
     mean-word-length band, symbol ratio, alphabetic-word fraction,
     stopword hits. Counts cast to bigint for the DuckDB compare."""
-    docs = tp.load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     out = textstats.gopher_quality(docs)
     return out.select(
         "doc_id",
@@ -2068,10 +2133,18 @@ def q_term_embeddings(spark, sf_dir):
     from .operators import embeddings as E
 
     emb = E.term_embeddings(tp.terms(spark, sf_dir))
+    # posexplode_OUTER on purpose (r7): plain posexplode makes Catalyst
+    # synthesize a `size(vector) > 0` predicate and push it through the
+    # spread exchange into the scan filter — re-evaluating the whole
+    # sha2+conv embedding expression a second time at scan parallelism
+    # (the guide §4.4 duplicate-evaluation shape, here with a JVM
+    # expression). The vector is a transform over sequence(0, dim-1),
+    # always exactly dim elements, so outer vs inner explode emit
+    # identical rows and the plan computes the embedding ONCE.
     return emb.select(
         "prefix",
         "identifier",
-        F.posexplode("vector").alias("dim_idx", "component"),
+        F.posexplode_outer("vector").alias("dim_idx", "component"),
     )
 
 

@@ -134,6 +134,33 @@ def test_descendants_and_subhierarchy(spark):
     assert ("e", "a") in anc
 
 
+def test_closure_broadcast_matches_bfs(spark):
+    """r7: bounded graphs take the broadcast map-side closure by
+    default; it must produce EXACTLY the distributed frontier BFS's
+    result set — including diamond fan-in (one row per pair, not per
+    path) and cycles (a node reached around a cycle is its own
+    ancestor)."""
+    edges = spark.createDataFrame(
+        [
+            ("b", "a"), ("c", "a"), ("d", "b"), ("d", "c"), ("e", "d"),
+            ("x", "y"), ("y", "z"), ("z", "x"),  # 3-cycle
+        ],
+        "child string, parent string",
+    )
+    fast_df = hierarchy.ancestors(edges)
+    fast_rows = fast_df.collect()
+    assert hierarchy.LAST_BFS_STATS.get("mode") == "broadcast"
+    slow_rows = hierarchy.ancestors(edges, broadcast_edge_bound=0).collect()
+    assert hierarchy.LAST_BFS_STATS.get("mode") == "bfs"
+    fast = {(r["identifier"], r["ancestor"]) for r in fast_rows}
+    slow = {(r["identifier"], r["ancestor"]) for r in slow_rows}
+    assert fast == slow
+    # exact-set semantics: no duplicate pairs from the diamond's two paths
+    assert len(fast_rows) == len(fast)
+    assert ("x", "x") in fast  # cycle: self-reachable
+    assert ("d", "a") in fast
+
+
 def test_connected_components_path_graph(spark):
     """Worst case for star-contraction: a single long path. Must converge
     to one component with the lexicographic-min representative."""

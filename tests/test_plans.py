@@ -226,15 +226,22 @@ def test_descendants_bfs_shuffle_work_linear_in_depth(spark, sf_dir):
     (b) execute a number of stages linear in the measured depth — a
     lineage-growth or re-scan regression shows up as a superlinear stage
     count long before it is distinguishable from host noise in wall time.
-    Calibrated: sf0.001 runs 2 hops in ~29 stages (≈10 setup + ≤12/hop)."""
-    from pyobo_spark import queries as Q
+    Calibrated: sf0.001 runs 2 hops in ~29 stages (≈10 setup + ≤12/hop).
+
+    r7: the BFS is now the FALLBACK path (bounded graphs take the
+    broadcast map-side closure, test_closure_broadcast_matches_bfs) —
+    forced here with broadcast_edge_bound=0 so the guard keeps pinning
+    the scale path's shape."""
     from pyobo_spark.operators import hierarchy
+    from pyobo_spark.sources import tpch_adapter as tp
 
     sc = spark.sparkContext
     sc.setJobGroup("bfs_guard", "descendants plan guard")
     hierarchy.BFS_CAPTURE_PLAN = True  # opt-in: snapshot the hop plan
     try:
-        n = Q.QUERIES["descendants"](spark, sf_dir).count()
+        n = hierarchy.descendants(
+            tp.parents(spark, sf_dir), broadcast_edge_bound=0
+        ).count()
     finally:
         hierarchy.BFS_CAPTURE_PLAN = False
         sc.setJobGroup("tests", "post")
@@ -254,19 +261,23 @@ def test_descendants_bfs_shuffle_work_linear_in_depth(spark, sf_dir):
     assert stages <= 12 + 14 * hops, (stages, hops)
 
 
-def test_ann_cosine_lsh_exactly_two_shuffles(spark, sf_dir):
-    """Multi-table hyperplane LSH must shuffle exactly twice — candidate
-    dedup (distinct) and the per-query top-k window — with every join
-    broadcast (query side and signature side are small by construction).
-    A third Exchange means a candidate join stopped broadcasting; a
-    CartesianProduct means the bucket join degenerated to all-pairs."""
-    import re
-
+def test_ann_cosine_lsh_shuffle_budget(spark, sf_dir):
+    """Multi-table hyperplane LSH must shuffle on exactly two HASH
+    exchanges — candidate dedup (distinct) and the per-query top-k
+    window (skew-safe via WindowGroupLimit's map-side rank pruning) —
+    plus at most one round-robin exchange from the corpus-side
+    small-input spread (r7). Every join stays broadcast (query and
+    signature sides are small by construction): a third hash Exchange
+    means a candidate join stopped broadcasting; a CartesianProduct
+    means the bucket join degenerated to all-pairs. The top-k window
+    must also be preceded by WindowGroupLimit so only k rows per query
+    per map partition cross the exchange."""
     from pyobo_spark import queries as Q
 
     plan = _formatted_plan(Q.QUERIES["ann_cosine_lsh"](spark, sf_dir))
-    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
-    assert len(shuffles) == 2, plan
+    assert plan.count("Arguments: hashpartitioning") == 2, plan
+    assert plan.count("Arguments: roundrobinpartitioning") <= 1, plan
+    assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
