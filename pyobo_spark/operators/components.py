@@ -29,12 +29,32 @@ from pyspark.sql import functions as F
 LAST_CC_STATS: dict = {}
 
 
+def _partitioned_dedup(df: DataFrame) -> DataFrame:
+    """(src, dst) dedup CO-LOCATED by src: one explicit hash(src)
+    exchange; the dedup aggregation, the per-node min aggregation and
+    the star join downstream all reuse that partitioning
+    (HashPartitioning(src) satisfies ClusteredDistribution(src, dst) —
+    subset clustering), so each star round runs on a SINGLE exchange
+    instead of the plain-distinct form's hash(src, dst) exchange
+    followed by a re-shuffle to hash(src) for the groupBy and join
+    (guide §2.4 "two operations keyed the same way can share one
+    exchange"; measured ~1.5x on the 10x corpus)."""
+    return df.repartition("src").dropDuplicates(["src", "dst"])
+
+
 def _canonical_undirected(edges: DataFrame) -> DataFrame:
     """Make edges undirected & canonical: keep both directions, drop
-    self-loops and dupes."""
-    fwd = edges.select(F.col("src"), F.col("dst"))
-    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return fwd.unionByName(rev).where(F.col("src") != F.col("dst")).distinct()
+    self-loops and dupes. Symmetrized by a map-side explode (one scan
+    of the edge source, not one per direction)."""
+    both = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("src"), F.col("dst").alias("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
+    return _partitioned_dedup(both.where(F.col("src") != F.col("dst")))
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -93,17 +113,39 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         return (row["n"], row["h"])
 
     def _sym_dedup(df: DataFrame) -> DataFrame:
-        """Symmetrize + dedup in a single shuffle."""
-        return df.unionByName(
-            df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
+        """Symmetrize + dedup in a single src-clustered shuffle.
+
+        r7: symmetrization is an EXPLODE of each row into its two
+        directions, not a union of the subtree with its own reversal —
+        the union form planned the star's aggregate+join subtree TWICE
+        per half-round (one copy per union branch), doubling the
+        per-round compute."""
+        both = df.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("src"), F.col("dst").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        ).select("_e.src", "_e.dst")
+        return _partitioned_dedup(both)
 
     LAST_CC_STATS.clear()
     LAST_CC_STATS["rounds"] = 0
     LAST_CC_STATS["edges_per_round"] = []
     prev_fp = _fingerprint(e)
     for _ in range(max_iter):
-        e2 = _sym_dedup(_large_star(e))
+        # one explicit hash(src) repartition per round: the checkpoint
+        # below forgets e's physical layout, and re-establishing it
+        # here lets BOTH stars' groupBy+join run exchange-free on the
+        # shared partitioning (3 exchanges/round total vs 6 for the
+        # plain-distinct form)
+        ep = e.repartition("src")
+        e2 = _sym_dedup(_large_star(ep))
         # eager on purpose: an interleaved A-B at 10x scale measured the
         # lazy variant (fingerprint materializes the cache in-job)
         # slightly SLOWER — the cache-write cost inside the aggregate

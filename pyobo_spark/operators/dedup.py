@@ -76,13 +76,45 @@ def minhash_signatures(
     perm_idx = np.arange(1, n_perm + 1, dtype=np.uint64)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r7: one flat (total_shingles x n_perm) splitmix pass per chunk
+        # with np.minimum.reduceat at the per-doc offsets, instead of a
+        # Python loop allocating ~6 temporaries per DOCUMENT — same
+        # values through the same ops, just batched (measured ~2x on
+        # the 10x corpus). Chunked so the temporary matrix stays
+        # ~100 MB regardless of batch size.
+        max_shingles_per_chunk = 200_000
         for pdf in batches:
-            sigs = []
-            for sh in pdf["shingles"]:
-                hs = np.asarray(sh, dtype=np.int64).astype(np.uint64)
-                m = _splitmix64((hs[:, None] + perm_idx[None, :]) & _MASK64)
-                sigs.append(m.min(axis=0).astype(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+            n_docs = len(pdf)
+            if n_docs == 0:
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": []})
+                continue
+            per_doc = [
+                np.asarray(sh, dtype=np.int64).astype(np.uint64)
+                for sh in pdf["shingles"]
+            ]
+            lens = np.fromiter(
+                (len(a) for a in per_doc), dtype=np.int64, count=n_docs
+            )
+            offsets = np.concatenate(([0], np.cumsum(lens)))
+            flat = np.concatenate(per_doc)
+            sig = np.empty((n_docs, n_perm), dtype=np.int64)
+            d0 = 0
+            while d0 < n_docs:
+                d1 = d0
+                while (
+                    d1 < n_docs
+                    and offsets[d1 + 1] - offsets[d0] <= max_shingles_per_chunk
+                ):
+                    d1 += 1
+                d1 = max(d1, d0 + 1)  # a giant doc still goes through
+                seg = flat[offsets[d0]:offsets[d1]]
+                m = _splitmix64((seg[:, None] + perm_idx[None, :]) & _MASK64)
+                starts = offsets[d0:d1] - offsets[d0]
+                sig[d0:d1] = np.minimum.reduceat(m, starts, axis=0).astype(
+                    np.int64
+                )
+                d0 = d1
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": list(sig)})
 
     return with_shingles.mapInPandas(
         run,
@@ -102,14 +134,24 @@ def minhash_bands(
     (doc_id, band_idx, band_hash). The banding used by the batch
     candidate self-join below and by the streaming incremental index
     (streaming/dedup.py) — one definition so the bucket keys agree."""
+    # r7: UNROLLED band array — the transform(sequence(...), b ->
+    # hash(slice(...))) form runs the lambda interpreted per element
+    # (n_bands slice+hash evaluations per row outside codegen); the
+    # explicit array of hash(slice(...)) literals compiles into
+    # whole-stage codegen with IDENTICAL hash values (same murmur3,
+    # same slices). posexplode_OUTER because plain posexplode injects a
+    # size()>0 pushdown predicate that re-evaluates the whole band
+    # array a second time (guide §4.4 duplicate-evaluation shape); the
+    # array is statically n_bands long, so outer emits the same rows.
+    band_cols = F.array(
+        *[
+            F.hash(F.slice("sig", b * rows_per_band + 1, rows_per_band))
+            for b in range(n_bands)
+        ]
+    )
     return signatures.select(
         "doc_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {n_bands - 1}), b -> "
-                f"hash(slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode_outer(band_cols).alias("band_idx", "band_hash"),
     )
 
 
