@@ -70,6 +70,10 @@ def main() -> None:
          .mapInPandas(_w, schema="id long, x string")
          .write.format("noop").mode("overwrite").save())
 
+    from scaling_bench import _canary_gbps, _steal_pct, _steal_ticks
+
+    st0 = _steal_ticks()
+    canary_before = _canary_gbps()
     times: dict[str, float] = {}
     for name in names:
         df = Q.QUERIES[name](spark, args.sf)
@@ -94,7 +98,10 @@ def main() -> None:
         print(f"##Q {name} {times[name]}", flush=True)
     print("##RESULT " + json.dumps(
         {"sf_dir": args.sf, "cpus": args.cpus, "total": round(
-            sum(times.values()), 3), "queries": times}))
+            sum(times.values()), 3), "queries": times,
+         "host": {"steal_pct": _steal_pct(st0, _steal_ticks()),
+                  "canary_gbps_before": canary_before,
+                  "canary_gbps_after": _canary_gbps()}}))
 
 
 if __name__ == "__main__":

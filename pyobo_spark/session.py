@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # no \r progress bars on stderr: they corrupted the driver's
+        # parse of bench.py's single JSON stdout line (BENCH_r06
+        # "parsed": null — VERDICT r06 #4); bench.py itself is frozen,
+        # but it builds its session here
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
