@@ -242,20 +242,17 @@ def term_embeddings(
 
 
 def nearest_terms(
-    embeddings: DataFrame, query_curies: DataFrame, k: int = 5,
-    dim: int = DEFAULT_DIM,
+    embeddings: DataFrame, query_curies: DataFrame, k: int = 5
 ) -> DataFrame:
     """Top-k cosine neighbors for each query term — reference
     ``get_embedding_similarity``'s nearest-lookup shape. The query side
     (a handful of CURIEs) joins against the artifact to pick up vectors,
-    then broadcasts into the exact top-k kernel. ``dim`` (the artifact's
-    vector length) switches the cosine arithmetic to the unrolled
-    codegen form — wrong values are safe (per-row lambda fallback)."""
+    then broadcasts into the exact top-k kernel."""
     q = embeddings.select("curie", "vector").join(
         F.broadcast(query_curies), on="curie"
     )
     return similarity.cosine_topk_bruteforce(
-        embeddings, q, k=k, id_col="curie", vec_col="vector", dim=dim
+        embeddings, q, k=k, id_col="curie", vec_col="vector"
     ).select(
         F.col("query_id").alias("query_curie"),
         F.col("neighbor_id").alias("neighbor_curie"),

@@ -21,52 +21,32 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def _norm_expr(vec: str, dim: int | None = None):
-    """Sum-of-squares norm. With ``dim`` given, the sum is UNROLLED into
-    dim codegen'd getItem/multiply/add terms guarded by a size check —
-    Catalyst evaluates higher-order-function lambdas interpreted
-    (~1µs/element, the measured bottleneck of the brute-force cosine at
-    10x); the unrolled form compiles into whole-stage codegen. The fold
-    order (((0+x0²)+x1²)+…) is preserved, so results are bit-identical
-    to the lambda form; vectors of any OTHER length fall back to the
-    lambda (the when() guard), so semantics are unchanged for every
-    input."""
-    hof = F.aggregate(
-        F.col(vec),
-        F.lit(0.0),
-        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+def _norm_expr(vec: str):
+    """Sum-of-squares norm (sequential fold — the cross-engine-stable
+    order). An unrolled fixed-dim getItem form was A/B-tested in r7:
+    ~0.25 s faster at 10x, ~0.2 s slower at sf1.0 (bigger codegen), a
+    wash overall — the lambda form stays for plan simplicity."""
+    return F.sqrt(
+        F.aggregate(
+            F.col(vec),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
     )
-    if dim is None:
-        return F.sqrt(hof)
-    acc = F.lit(0.0)
-    for i in range(dim):
-        x = F.col(vec)[i].cast("double")
-        acc = acc + x * x
-    return F.sqrt(F.when(F.size(F.col(vec)) == dim, acc).otherwise(hof))
 
 
-def _dot_expr(a: str, b: str, dim: int | None = None):
-    """Dot product of two array columns — same unrolled-when-possible
-    strategy and fold-order guarantee as :func:`_norm_expr`."""
-    hof = F.aggregate(
+def _dot_expr(a: str, b: str):
+    """Dot product of two array columns — same fold-order guarantee as
+    :func:`_norm_expr`."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    if dim is None:
-        return hof
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + F.col(a)[i].cast("double") * F.col(b)[i].cast("double")
-    return F.when(
-        (F.size(F.col(a)) == dim) & (F.size(F.col(b)) == dim), acc
-    ).otherwise(hof)
 
 
-def _with_norm(
-    df: DataFrame, vec: str = "embedding", dim: int | None = None
-) -> DataFrame:
-    return df.withColumn("_norm", _norm_expr(vec, dim))
+def _with_norm(df: DataFrame, vec: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", _norm_expr(vec))
 
 
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -106,29 +86,23 @@ def cosine_topk_bruteforce(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cosine) — exact top-k per query.
 
-    queries: subset of rows with the same shape. Broadcast inner side.
-    dim: expected vector length — enables the unrolled codegen
-    arithmetic (see _norm_expr); other lengths fall back to the lambda
-    form, so passing it is always safe."""
+    queries: subset of rows with the same shape. Broadcast inner side."""
     q = _with_norm(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
         ),
         "qvec",
-        dim,
     ).withColumnRenamed("_norm", "qnorm")
     c = _with_norm(
         embeddings.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
         ),
         "cvec",
-        dim,
     ).withColumnRenamed("_norm", "cnorm")
-    dot = _dot_expr("qvec", "cvec", dim)
+    dot = _dot_expr("qvec", "cvec")
     scored = (
         c.join(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -319,16 +293,14 @@ def cosine_topk_ivf(
             F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
         ),
         "cvec",
-        dim,
     ).withColumnRenamed("_norm", "cnorm")
     q = _with_norm(
         queries.select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
         ),
         "qvec",
-        dim,
     ).withColumnRenamed("_norm", "qnorm")
-    dot = _dot_expr("qvec", "cvec", dim)
+    dot = _dot_expr("qvec", "cvec")
     scored = (
         cand.join(c, on="neighbor_id").join(F.broadcast(q), on="query_id")
         .withColumn("cosine", dot / (F.col("qnorm") * F.col("cnorm")))
@@ -365,9 +337,9 @@ def cosine_topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    c = _with_norm(c, "cvec", dim).withColumnRenamed("_norm", "cnorm")
-    q = _with_norm(q, "qvec", dim).withColumnRenamed("_norm", "qnorm")
-    dot = _dot_expr("qvec", "cvec", dim)
+    c = _with_norm(c, "cvec").withColumnRenamed("_norm", "cnorm")
+    q = _with_norm(q, "qvec").withColumnRenamed("_norm", "qnorm")
+    dot = _dot_expr("qvec", "cvec")
     scored = (
         cand.join(c, on="neighbor_id").join(F.broadcast(q), on="query_id")
         .withColumn("cosine", dot / (F.col("qnorm") * F.col("cnorm")))

@@ -405,7 +405,7 @@ def q_ann_cosine_topk(spark, sf_dir):
     # query side from the RAW scan: the vec_id filter pushes into
     # parquet instead of scanning+shuffling the spread corpus
     queries = emb_raw.where(F.col("vec_id") < 8)
-    out = similarity.cosine_topk_bruteforce(emb, queries, k=5, dim=64)
+    out = similarity.cosine_topk_bruteforce(emb, queries, k=5)
     return out.select(
         "query_id", "neighbor_id", "cosine",
         F.col("rank").cast("bigint").alias("rank"),
