@@ -437,7 +437,11 @@ def near_dup_clusters(
     )
     # connected_components orders labels as STRINGS (curie semantics) —
     # zero-pad the ids so lexicographic min == numeric min. 19 digits
-    # covers every positive bigint.
+    # covers every positive bigint. ASSUMES non-negative doc_ids
+    # (ADVICE r06): a negative id pads as '-000...' and lexicographic
+    # min no longer equals numeric min, so the canonical/keep choice
+    # for a cluster containing negative ids is undefined (the documents
+    # contract throughout this package uses non-negative ids).
     def _pad(c: str):
         return F.lpad(F.col(c).cast("string"), 19, "0")
 

@@ -211,13 +211,16 @@ def gopher_repetition(
 
 
 def gopher_quality(documents: DataFrame) -> DataFrame:
-    """Per-document Gopher quality-rule metrics + verdict (Rae et al.
-    2021, arXiv:2112.11446 §A1.1): word-count band, mean-word-length
-    band, symbol-to-word ratio ('#' / '...' tokens), alphabetic-word
-    fraction, and a minimum of two DISTINCT stopwords present ("contain
-    at least two of the following English words"). Returns every metric
-    plus the
-    combined ``passes`` so pipelines can threshold or inspect.
+    """Per-document quality-rule metrics + verdict IN THE STYLE OF the
+    Gopher rules (Rae et al. 2021, arXiv:2112.11446 §A1.1) — not
+    paper-exact (ADVICE r06): the stopword list below is this engine's
+    own (the paper's is "the, be, to, of, and, that, have, with"), and
+    '#'/'...' are counted as standalone symbol TOKENS rather than
+    in-word occurrences. Rules: word-count band, mean-word-length band,
+    symbol-to-word ratio, alphabetic-word fraction, and a minimum of
+    two DISTINCT stopwords present ("contain at least two of the
+    following English words"). Returns every metric plus the combined
+    ``passes`` so pipelines can threshold or inspect.
 
     All columns are whole-stage-codegen expressions — zero Python, one
     map-only stage over the corpus."""

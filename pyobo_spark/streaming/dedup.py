@@ -51,6 +51,22 @@ def _sink_has_data(spark: SparkSession, path: str) -> bool:
     return False
 
 
+def _canonical_app_id(checkpoint_dir: str) -> str:
+    """Replay-scope id from a checkpoint path, spelled canonically
+    (ADVICE r06 #2): local paths resolve to an absolute normalized
+    form so 'ckpt/', './ckpt' and '/abs/ckpt' all name ONE scope —
+    otherwise a differently-spelled restart gets a fresh app_id and a
+    replayed micro-batch commits twice. Scheme-qualified URIs (hdfs:,
+    s3a:, file:) only have a trailing slash stripped — os.path
+    semantics do not apply to them."""
+    import os
+    import re
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", checkpoint_dir):
+        return checkpoint_dir.rstrip("/")
+    return os.path.abspath(os.path.normpath(checkpoint_dir))
+
+
 def _keep_min_batch(batch_df: DataFrame) -> DataFrame:
     """exact_duplicates' keep-min policy within one micro-batch: hash
     the content, keep the lowest doc_id per hash. Shared by both
@@ -329,17 +345,24 @@ def stream_exact_dedup_versioned(
     txnAppId role): a different checkpoint (new query) never collides
     with this one's batch ids; resetting THIS checkpoint's contents to
     reprocess from scratch requires a new checkpoint path or table.
+    The path is CANONICALIZED before use (r7, ADVICE r06 #2): a restart
+    that spells the same local checkpoint differently (relative vs
+    absolute, trailing slash, '..' segments) must resolve to the SAME
+    app_id, or a replayed batch would commit twice under a fresh scope
+    and break the exactly-once-visible claim. URI-style paths (scheme
+    present) are normalized textually (trailing-slash strip) only.
     """
     from ..pipeline.snapshots import SnapshotTable
 
     table = SnapshotTable(spark, table_root)
+    app_id = _canonical_app_id(checkpoint_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         batch = _keep_min_batch(batch_df)
         if table.current_snapshot_id() is not None:
             seen = table.read().select("text_hash")
             batch = batch.join(seen, on="text_hash", how="left_anti")
-        table.append_batch(batch, batch_id, app_id=checkpoint_dir)
+        table.append_batch(batch, batch_id, app_id=app_id)
 
     stream = (
         spark.readStream.schema(schema)

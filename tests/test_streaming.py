@@ -380,3 +380,21 @@ def test_streaming_exact_dedup_versioned(spark, tmp_path):
     assert {
         r["doc_id"] for r in tbl.read(snapshot_id=first_sid).collect()
     } == {1, 3}
+
+
+def test_canonical_app_id_spellings():
+    """ADVICE r06 #2: every spelling of the same local checkpoint dir
+    must resolve to ONE replay-scope app_id (a fresh app_id on restart
+    would let a replayed batch commit twice); URI paths keep their
+    scheme and only lose a trailing slash."""
+    import os
+
+    from pyobo_spark.streaming.dedup import _canonical_app_id
+
+    cwd = os.getcwd()
+    canon = _canonical_app_id(f"{cwd}/ckpt")
+    assert _canonical_app_id("ckpt") == canon
+    assert _canonical_app_id("./ckpt/") == canon
+    assert _canonical_app_id(f"{cwd}/x/../ckpt") == canon
+    assert _canonical_app_id("hdfs://nn/ckpt/") == "hdfs://nn/ckpt"
+    assert _canonical_app_id("file:/tmp/ckpt") == "file:/tmp/ckpt"
