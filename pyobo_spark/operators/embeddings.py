@@ -242,14 +242,31 @@ def term_embeddings(
 
 
 def nearest_terms(
-    embeddings: DataFrame, query_curies: DataFrame, k: int = 5
+    embeddings: DataFrame,
+    query_curies: DataFrame,
+    k: int = 5,
+    query_vectors: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors for each query term — reference
     ``get_embedding_similarity``'s nearest-lookup shape. The query side
     (a handful of CURIEs) joins against the artifact to pick up vectors,
-    then broadcasts into the exact top-k kernel."""
-    q = embeddings.select("curie", "vector").join(
-        F.broadcast(query_curies), on="curie"
+    then broadcasts into the exact top-k kernel.
+
+    ``query_vectors`` (r7): optional precomputed (curie, vector) rows
+    for the query curies. The default pickup join evaluates the WHOLE
+    embedding artifact's projection on the query branch too (a
+    broadcast join cannot defer the stream side's vector expression),
+    so when the artifact is a lazily-computed plan — the usual case —
+    callers that can produce the handful of query vectors cheaply
+    (e.g. term_embeddings over a pre-filtered terms scan) skip a full
+    second embedding pass. Must contain exactly the artifact's rows
+    for those curies; result is identical."""
+    q = (
+        query_vectors
+        if query_vectors is not None
+        else embeddings.select("curie", "vector").join(
+            F.broadcast(query_curies), on="curie"
+        )
     )
     return similarity.cosine_topk_bruteforce(
         embeddings, q, k=k, id_col="curie", vec_col="vector"

@@ -2176,7 +2176,17 @@ def q_embedding_nearest_terms(spark, sf_dir):
          ("fixp:0000015",), ("fixp:0000020",)],
         "curie string",
     )
-    return E.nearest_terms(emb, q, k=5)
+    # r7: hand nearest_terms the four query vectors from a PRE-FILTERED
+    # terms scan — the default pickup join would run the sha2+conv
+    # embedding projection over the full artifact a second time just to
+    # keep 4 rows (measured ~2 s at 10x). Same rows by construction
+    # (same term_embeddings kernel over the same source rows).
+    curies = [r[0] for r in q.collect()]
+    qt = tp.terms(spark, sf_dir).where(
+        F.concat_ws(":", "prefix", "identifier").isin(curies)
+    )
+    qv = E.term_embeddings(qt).select("curie", "vector")
+    return E.nearest_terms(emb, q, k=5, query_vectors=qv)
 
 
 SQL_EMBEDDING_NEAREST_TERMS = f"""
