@@ -99,7 +99,11 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         .unionByName(edges.select(F.col("dst").alias("curie")))
         .distinct()
     )
-    e = _canonical_undirected(edges).localCheckpoint(eager=True)
+    # lazy: the prev_fp fingerprint below is the first consumer and
+    # materializes the checkpoint inside its own job (r7 A/B: one job
+    # per round saved vs eager, ~5-8% per round at both scales in the
+    # src-clustered round structure)
+    e = _canonical_undirected(edges).localCheckpoint(eager=False)
 
     def _fingerprint(df: DataFrame) -> tuple[int, int]:
         """Cheap set fingerprint: (count, XOR of row hashes). One job
@@ -146,12 +150,12 @@ def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
         # plain-distinct form)
         ep = e.repartition("src")
         e2 = _sym_dedup(_large_star(ep))
-        # eager on purpose: an interleaved A-B at 10x scale measured the
-        # lazy variant (fingerprint materializes the cache in-job)
-        # slightly SLOWER — the cache-write cost inside the aggregate
-        # job beats the dedicated materialization job by nothing, and
-        # the completion bookkeeping adds jitter. Keep the simple form.
-        e3 = _sym_dedup(_small_star(e2)).localCheckpoint(eager=True)
+        # lazy (r7 — reverses the r6 eager finding, which was measured
+        # on the old round structure): the fingerprint is the first
+        # consumer and materializes the checkpoint in-job, saving the
+        # dedicated materialization job each round (A/B: 7.7->7.1 s at
+        # sf1.0, 9.5->9.2 s at 10x).
+        e3 = _sym_dedup(_small_star(e2)).localCheckpoint(eager=False)
         fp = _fingerprint(e3)
         e = e3
         LAST_CC_STATS["rounds"] += 1
