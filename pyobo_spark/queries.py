@@ -304,8 +304,14 @@ GROUP BY t.doc_id, d.curie
 def q_mention_best(spark, sf_dir):
     ac = build_matcher(MENTION_DICT)
     bc = broadcast_matcher(spark, ac)
-    raw = matcher.match_text_spans(_docs_as_spans(spark, sf_dir), bc)
-    best = matcher.best_match(raw)
+    # r7: map-only best-per-site variant — every candidate for a
+    # (doc, span, site) comes from the same input row, so the top-1
+    # resolves inside the Arrow matcher with the SAME ordering as
+    # best_match's window (score desc, length desc, curie asc;
+    # matcher.py:102-109) and the raw-mention window shuffle disappears.
+    # The trailing distinct (the oracle's SELECT DISTINCT) remains the
+    # query's only exchange.
+    best = matcher.match_text_spans_best(_docs_as_spans(spark, sf_dir), bc)
     return best.select(
         F.col("doc_id").cast("bigint").alias("doc_id"), "matched_text", "curie"
     ).distinct()
