@@ -593,7 +593,10 @@ def test_cc_convergence_rounds_on_power_law_graph(spark):
     expected_n_components = len(truth)
 
     df = spark.createDataFrame(edges, "src string, dst string")
-    out = C.connected_components(df).collect()
+    # broadcast_edge_bound=0 forces the distributed star rounds — this
+    # test pins THEIR convergence behavior; the r7 driver-side
+    # union-find fast path is pinned against the same fixture below
+    out = C.connected_components(df, broadcast_edge_bound=0).collect()
     got = {}
     for r in out:
         got.setdefault(r["component"], set()).add(r["curie"])
@@ -608,6 +611,17 @@ def test_cc_convergence_rounds_on_power_law_graph(spark):
     per_round = C.LAST_CC_STATS["edges_per_round"]
     assert rounds <= math.ceil(math.log2(path_len)) + 3, (rounds, per_round)
     assert max(per_round) <= 2.5 * len(edges), per_round
+    assert C.LAST_CC_STATS["mode"] == "stars"
+
+    # r7 fast path: the driver-side union-find (in-bound graphs) must
+    # produce the IDENTICAL (curie, component) row set on the same
+    # adversarial fixture — hub skew, a diameter-2048 path (deep label
+    # chains), random clusters with duplicate and self-loop edges
+    out_b = C.connected_components(df).collect()
+    assert C.LAST_CC_STATS["mode"] == "broadcast"
+    assert sorted((r["curie"], r["component"]) for r in out_b) == sorted(
+        (r["curie"], r["component"]) for r in out
+    )
 
 
 def test_y4m_missing_frame_rate_is_unsupported():
